@@ -1,0 +1,300 @@
+"""K-means clustering as a single jittable tensor program.
+
+TPU-native counterpart of the reference's clustering engine (reference:
+``src/kmeans.rs``).  Where the reference interleaves BLAS matmuls with
+scalar argmin loops and scatter-adds on the host, every step here is a
+dense tensor op that XLA tiles onto the MXU:
+
+* **assign** — pairwise squared distances via the norm expansion (one
+  matmul) followed by a vectorized argmin (reference:
+  ``src/kmeans.rs:111-159``).
+* **update** — the scatter-add over assignments (reference:
+  ``src/kmeans.rs:166-198``) becomes a one-hot matmul
+  ``onehot(codes)^T @ x``, i.e. another MXU matmul, plus a count-guarded
+  divide.  Clusters with zero assigned points get the **zero vector**,
+  exactly matching the reference's zero-fill + guarded-divide semantics.
+* **iterate** — ``lax.fori_loop`` / ``lax.while_loop`` drivers replace the
+  host-side iteration; the whole Lloyd's loop stays on device under one
+  ``jit``.
+
+Semantics preserved bit-for-bit where it matters for parity:
+
+* argmin tie-break: first index wins (``jnp.argmin`` semantics match the
+  reference's ``min_by_key`` over enumerated distances,
+  ``src/kmeans.rs:119-125``).
+* the per-iteration loss is the MSE between instances and their assigned
+  centroids **after** the centroid update, normalized by ``n * d`` — the
+  total number of scalar elements, not the number of instances
+  (reference: ``src/kmeans.rs:319-327,359``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .linalg import squared_euclidean_distance
+
+__all__ = [
+    "RandomInstanceCentroids",
+    "KMeansPlusPlusCentroids",
+    "NIterations",
+    "LossConvergence",
+    "cluster_assignment",
+    "cluster_assignments",
+    "update_centroids",
+    "mean_squared_error",
+    "kmeans_iteration",
+    "kmeans_with_centroids",
+    "kmeans",
+]
+
+
+# ---------------------------------------------------------------------------
+# Initial centroid selection (reference: src/kmeans.rs:17-88)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomInstanceCentroids:
+    """Pick ``k`` distinct random instances as the initial centroids.
+
+    Counterpart of the reference's ``RandomInstanceCentroids``
+    (``src/kmeans.rs:35-88``), which draws uniform indices into a hash set
+    until ``k`` distinct ones are found.  Here the same distribution over
+    distinct index sets comes from ``jax.random.choice`` without
+    replacement, which stays on device and is deterministic per key.
+    """
+
+    def __call__(self, key: Array, x: Array, k: int) -> Array:
+        n = x.shape[0]
+        if k <= 0:
+            raise ValueError("Cannot pick 0 random centroids")
+        if k >= n:
+            raise ValueError(
+                f"Cannot pick more centroids than instances: {n} instances, {k} centroids"
+            )
+        if x.ndim != 2 or x.shape[1] == 0:
+            raise ValueError("Cannot pick centroids from zero-length instances")
+        indices = jax.random.choice(key, n, shape=(k,), replace=False)
+        return jnp.take(x, indices, axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class KMeansPlusPlusCentroids:
+    """k-means++ (Arthur & Vassilvitskii, 2007) D²-weighted seeding.
+
+    A capability extension over the reference (which only ships random
+    instance seeding): successive centroids are sampled with probability
+    proportional to the squared distance to the nearest centroid chosen so
+    far.  Runs as a ``fori_loop`` so the whole seeding is one compiled
+    program.
+    """
+
+    def __call__(self, key: Array, x: Array, k: int) -> Array:
+        n, d = x.shape
+        if k <= 0:
+            raise ValueError("Cannot pick 0 random centroids")
+        if k >= n:
+            raise ValueError(
+                f"Cannot pick more centroids than instances: {n} instances, {k} centroids"
+            )
+        key, first = jax.random.split(key)
+        first_idx = jax.random.randint(first, (), 0, n)
+        centroids = jnp.zeros((k, d), x.dtype).at[0].set(x[first_idx])
+        min_d2 = squared_euclidean_distance(x, x[first_idx][None, :])[:, 0]
+
+        def body(i, carry):
+            centroids, min_d2, key = carry
+            key, sub = jax.random.split(key)
+            weights = jnp.maximum(min_d2, 0.0)
+            # Degenerate case (all points identical): fall back to uniform.
+            total = jnp.sum(weights)
+            probs = jnp.where(total > 0, weights / jnp.maximum(total, 1e-30), 1.0 / n)
+            idx = jax.random.choice(sub, n, p=probs)
+            chosen = x[idx]
+            centroids = centroids.at[i].set(chosen)
+            d2 = squared_euclidean_distance(x, chosen[None, :])[:, 0]
+            return centroids, jnp.minimum(min_d2, d2), key
+
+        centroids, _, _ = jax.lax.fori_loop(1, k, body, (centroids, min_d2, key))
+        return centroids
+
+
+# ---------------------------------------------------------------------------
+# Stop conditions (reference: src/kmeans.rs:91-104)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NIterations:
+    """Stop after exactly ``n`` iterations (reference:
+    ``NIterationsCondition``, ``src/kmeans.rs:97-104``).  Lowered to a
+    ``lax.fori_loop`` — no data-dependent control flow."""
+
+    n: int
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConvergence:
+    """Stop when the relative loss improvement drops below ``rel_tol``, or
+    after ``max_iterations`` — a capability extension made practical on TPU
+    by ``lax.while_loop`` (the reference's ``StopCondition`` trait is
+    pluggable but only ships a fixed-iteration impl)."""
+
+    max_iterations: int
+    rel_tol: float = 1e-6
+
+
+StopCondition = NIterations | LossConvergence
+
+
+# ---------------------------------------------------------------------------
+# Core steps
+# ---------------------------------------------------------------------------
+
+
+def cluster_assignment(centroids: Array, instance: Array) -> Array:
+    """Index of the nearest centroid for one instance (reference:
+    ``src/kmeans.rs:111-126``).  Ties break to the first index."""
+    dists = squared_euclidean_distance(instance, centroids)
+    return jnp.argmin(dists).astype(jnp.int32)
+
+
+def cluster_assignments(centroids: Array, instances: Array) -> Array:
+    """Nearest-centroid index for each row of ``instances`` (reference:
+    ``src/kmeans.rs:133-159``).  One ``(n, d) x (d, k)`` matmul plus a row
+    argmin; ties break to the first index."""
+    dists = squared_euclidean_distance(instances, centroids)
+    return jnp.argmin(dists, axis=1).astype(jnp.int32)
+
+
+def update_centroids(x: Array, assignments: Array, k: int) -> Array:
+    """Mean of the instances assigned to each centroid.
+
+    Functional counterpart of the reference's in-place scatter-add update
+    (``src/kmeans.rs:166-198``), recast as a one-hot matmul so the
+    reduction runs on the MXU.  Clusters with no assigned instances become
+    the **zero vector**, matching the reference's zero-fill +
+    divide-only-if-count-positive semantics (``src/kmeans.rs:181,194-196``).
+    """
+    onehot = jax.nn.one_hot(assignments, k, dtype=x.dtype)  # (n, k)
+    # f32 accumulation: bf16 MXU inputs would corrupt the per-cluster sums.
+    sums = jnp.dot(onehot.T, x, precision="highest")  # (k, d) — MXU matmul
+    counts = jnp.sum(onehot, axis=0)  # (k,)
+    safe = jnp.maximum(counts, 1.0)
+    return jnp.where((counts > 0)[:, None], sums / safe[:, None], 0.0).astype(x.dtype)
+
+
+def mean_squared_error(centroids: Array, x: Array, assignments: Array) -> Array:
+    """MSE between instances and their assigned centroids, normalized by the
+    total element count ``n * d`` (reference: ``src/kmeans.rs:330-360`` —
+    note the division by ``instances.len()``, which in ndarray is the number
+    of scalars, not rows)."""
+    assigned = jnp.take(centroids, assignments, axis=0)
+    err = assigned - x
+    sse = jnp.sum(err * err)
+    return sse / jnp.asarray(x.size, dtype=x.dtype)
+
+
+def kmeans_iteration(x: Array, centroids: Array) -> Tuple[Array, Array]:
+    """One Lloyd's step: assign → update → loss (reference:
+    ``src/kmeans.rs:291-328``).  Returns the new centroids and the MSE of
+    the instances against the **updated** centroids under the assignments
+    computed from the old centroids — the reference's exact loss
+    definition."""
+    if centroids.shape[0] == 0:
+        raise ValueError("Cannot cluster instances with zero centroids.")
+    assignments = cluster_assignments(centroids, x)
+    new_centroids = update_centroids(x, assignments, centroids.shape[0])
+    loss = mean_squared_error(new_centroids, x, assignments)
+    return new_centroids, loss
+
+
+def kmeans_with_centroids(
+    x: Array,
+    centroids: Array,
+    stop: StopCondition | int,
+) -> Tuple[Array, Array]:
+    """Run Lloyd's iterations from the given initial centroids (reference:
+    ``KMeansWithCentroids``, ``src/kmeans.rs:248-288``).
+
+    ``stop`` may be an int (shorthand for :class:`NIterations`), an
+    :class:`NIterations`, or a :class:`LossConvergence`.  Returns
+    ``(centroids, final_loss)``.
+    """
+    if isinstance(stop, int):
+        stop = NIterations(stop)
+    if centroids.shape[0] == 0:
+        raise ValueError("Cannot cluster instances with zero centroids.")
+    if centroids.shape[1] != x.shape[1]:
+        raise ValueError(
+            f"Centroid and instance lengths differ: {centroids.shape[1]} != {x.shape[1]}"
+        )
+
+    if isinstance(stop, NIterations):
+        if stop.n <= 0:
+            raise ValueError("The number of iterations must be >= 1")
+
+        def body(_, carry):
+            centroids, _ = carry
+            return kmeans_iteration(x, centroids)
+
+        init_loss = jnp.asarray(jnp.inf, dtype=x.dtype)
+        return jax.lax.fori_loop(0, stop.n, body, (centroids, init_loss))
+
+    if isinstance(stop, LossConvergence):
+        max_iter = stop.max_iterations
+        rel_tol = stop.rel_tol
+
+        def cond(carry):
+            i, _, loss, prev_loss = carry
+            improved = (prev_loss - loss) > rel_tol * jnp.maximum(prev_loss, 1e-30)
+            return jnp.logical_and(i < max_iter, jnp.logical_or(i < 1, improved))
+
+        def body(carry):
+            i, centroids, loss, _ = carry
+            new_centroids, new_loss = kmeans_iteration(x, centroids)
+            return i + 1, new_centroids, new_loss, loss
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            centroids,
+            jnp.asarray(jnp.inf, x.dtype),
+            jnp.asarray(jnp.inf, x.dtype),
+        )
+        _, centroids, loss, _ = jax.lax.while_loop(cond, body, init)
+        return centroids, loss
+
+    raise TypeError(f"Unsupported stop condition: {stop!r}")
+
+
+def kmeans(
+    key: Array,
+    x: Array,
+    k: int,
+    stop: StopCondition | int,
+    init: Callable[[Array, Array, int], Array] = RandomInstanceCentroids(),
+    instance_axis: int = 0,
+) -> Tuple[Array, Array]:
+    """Full k-means: initial centroid selection followed by Lloyd's
+    iterations (reference: ``KMeans::k_means``, ``src/kmeans.rs:201-240``).
+
+    ``instance_axis`` selects whether instances are rows (0) or columns (1)
+    of ``x``, mirroring the reference's ``Axis`` parameter; centroids are
+    always returned as rows.
+    """
+    if instance_axis == 1:
+        x = x.T
+    elif instance_axis != 0:
+        raise ValueError(f"instance_axis must be 0 or 1, got {instance_axis}")
+    n = x.shape[0]
+    if k == 0 or k > n:
+        raise ValueError("k cannot be larger than the number of data points or zero")
+    centroids = init(key, x, k)
+    return kmeans_with_centroids(x, centroids, stop)

@@ -1,0 +1,36 @@
+"""Product quantization: models, primitives, and trainers.
+
+TPU-native counterpart of the reference's ``pq`` module tree
+(reference: ``src/pq/mod.rs``).  Public surface:
+
+* :class:`~reductive_tpu.pq.model.Pq` — the quantizer model (codebooks +
+  optional projection), with ``quantize_*``/``reconstruct*`` methods.
+* :func:`~reductive_tpu.pq.train.train_pq` — plain PQ training
+  (Jégou et al., 2011).
+* :func:`~reductive_tpu.pq.opq.train_opq` — optimized PQ with a learned
+  rotation (Ge et al., 2013).
+* :func:`~reductive_tpu.pq.opq.train_gaussian_opq` — closed-form PCA
+  rotation variant for Gaussian-distributed data.
+* :mod:`~reductive_tpu.pq.primitives` — raw encode/decode against a
+  codebook tensor.
+"""
+
+from . import primitives
+from .model import Pq
+from .opq import (
+    bucket_eigenvalues,
+    create_projection_matrix,
+    train_gaussian_opq,
+    train_opq,
+)
+from .train import train_pq
+
+__all__ = [
+    "Pq",
+    "primitives",
+    "train_pq",
+    "train_opq",
+    "train_gaussian_opq",
+    "bucket_eigenvalues",
+    "create_projection_matrix",
+]

@@ -1,0 +1,118 @@
+"""The product-quantizer model: a JAX pytree holding codebooks + projection.
+
+TPU-native counterpart of the reference's ``Pq<A>`` struct (reference:
+``src/pq/pq.rs:29-61``): the model state is exactly an optional ``(d, d)``
+projection and an ``(m, k, ds)`` codebook tensor.  Registered as a pytree
+so a ``Pq`` can flow through ``jit``/``vmap``/``shard_map`` and be donated,
+sharded, or checkpointed like any other parameter structure.
+
+Apply paths (reference: ``src/pq/pq.rs:252-348``):
+
+* ``quantize_batch`` — optionally project by ``R``, then the batched
+  encode primitive.
+* ``reconstruct_batch`` — the batched gather, then optionally the inverse
+  projection by ``R^T`` (valid because the learned projections are
+  orthonormal).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from . import primitives
+
+__all__ = ["Pq"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Pq:
+    """Product quantizer (Jégou et al., 2011): ``m`` subquantizers of ``k``
+    centroids each over ``ds``-dimensional subvectors, with an optional
+    learned orthonormal projection applied before slicing.
+
+    ``codebooks`` has shape ``(m, k, ds)`` — the same layout as the
+    reference's ``quantizers`` field (``src/pq/pq.rs:31``).
+    """
+
+    codebooks: Array
+    projection: Optional[Array] = None
+
+    def __post_init__(self) -> None:
+        if hasattr(self.codebooks, "ndim"):
+            if self.codebooks.ndim != 3:
+                raise ValueError(
+                    f"codebooks must have shape (m, k, ds), got {self.codebooks.shape}"
+                )
+            if self.codebooks.size == 0:
+                raise ValueError(
+                    "Attempted to construct a product quantizer without quantizers."
+                )
+            d = primitives.reconstructed_len(self.codebooks)
+            if self.projection is not None and hasattr(self.projection, "shape"):
+                if tuple(self.projection.shape) != (d, d):
+                    raise ValueError(
+                        f"Incorrect projection matrix shape, was: {self.projection.shape}, "
+                        f"should be [{d}, {d}]"
+                    )
+
+    # -- shape accessors (reference: src/pq/pq.rs:103-110,191-193,300-302,345-347)
+
+    @property
+    def n_subquantizers(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def n_quantizer_centroids(self) -> int:
+        """Number of centroids per subquantizer (``k``)."""
+        return self.codebooks.shape[1]
+
+    @property
+    def quantized_len(self) -> int:
+        """Length of a quantized vector: one code per subquantizer."""
+        return self.codebooks.shape[0]
+
+    @property
+    def reconstructed_len(self) -> int:
+        """Length of a reconstructed vector (``m * ds``)."""
+        return primitives.reconstructed_len(self.codebooks)
+
+    @property
+    def subquantizers(self) -> Array:
+        """The ``(m, k, ds)`` codebook tensor."""
+        return self.codebooks
+
+    # -- encode (reference: src/pq/pq.rs:252-303)
+
+    def quantize_batch(self, x: Array, dtype=jnp.uint8, *, precision="highest") -> Array:
+        """Encode ``(n, d)`` vectors to ``(n, m)`` codes of ``dtype``."""
+        if self.projection is not None:
+            x = jnp.dot(x, self.projection, precision=precision)
+        return primitives.quantize_batch(self.codebooks, x, dtype=dtype, precision=precision)
+
+    def quantize_vector(self, x: Array, dtype=jnp.uint8, *, precision="highest") -> Array:
+        """Encode a single ``(d,)`` vector to ``(m,)`` codes."""
+        if self.projection is not None:
+            x = jnp.dot(x, self.projection, precision=precision)
+        return primitives.quantize(self.codebooks, x, dtype=dtype, precision=precision)
+
+    # -- decode (reference: src/pq/pq.rs:305-348)
+
+    def reconstruct_batch(self, codes: Array, *, precision="highest") -> Array:
+        """Decode ``(n, m)`` codes to approximate ``(n, d)`` vectors."""
+        out = primitives.reconstruct_batch(self.codebooks, codes)
+        if self.projection is not None:
+            out = jnp.dot(out, self.projection.T, precision=precision)
+        return out
+
+    def reconstruct(self, code: Array, *, precision="highest") -> Array:
+        """Decode a single ``(m,)`` code row to a ``(d,)`` vector."""
+        out = primitives.reconstruct(self.codebooks, code)
+        if self.projection is not None:
+            out = jnp.dot(out, self.projection.T, precision=precision)
+        return out

@@ -1,0 +1,200 @@
+"""Golden-fixture and quality-gate tests for the Pq model and trainer.
+
+Ports the reference's inline tests (reference: ``src/pq/pq.rs:350-491``):
+the predefined-codebook truth tables, the narrow-dtype contract test, the
+shape accessors, and the seeded statistical quality gate (avg
+quantize→reconstruct Euclidean loss < 0.08 on 256x20 U(0,1), m=10, 7 bits,
+10 iterations).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import Pq, train_pq
+from reductive_tpu.errors import (
+    IncorrectNAttempts,
+    IncorrectNIterations,
+    IncorrectNSubquantizerBits,
+    IncorrectNumberSubquantizers,
+    NSubquantizersOutsideRange,
+)
+from reductive_tpu.linalg import euclidean_distance
+
+
+def ref_vectors():
+    # reference: src/pq/pq.rs:378-385
+    return jnp.array(
+        [
+            [0.0, 2.0, 0.0, -0.5, 0.0, 0.0],
+            [1.0, -0.2, 0.0, 0.5, 0.5, 0.0],
+            [-0.2, 0.2, 0.0, 0.0, -2.0, 0.0],
+            [1.0, 0.2, 0.0, 0.0, -2.0, 0.0],
+        ],
+        dtype=jnp.float32,
+    )
+
+
+def ref_quantizations():
+    # reference: src/pq/pq.rs:387-389
+    return jnp.array([[1, 1], [0, 1], [1, 0], [0, 0]])
+
+
+def ref_reconstructions():
+    # reference: src/pq/pq.rs:391-398
+    return jnp.array(
+        [
+            [0.0, 1.0, 0.0, 0.0, 1.0, 0.0],
+            [1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+            [0.0, 1.0, 0.0, 1.0, -1.0, 0.0],
+            [1.0, 0.0, 0.0, 1.0, -1.0, 0.0],
+        ],
+        dtype=jnp.float32,
+    )
+
+
+def make_test_pq():
+    # reference: src/pq/pq.rs:400-407
+    codebooks = jnp.array(
+        [
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+            [[1.0, -1.0, 0.0], [0.0, 1.0, 0.0]],
+        ],
+        dtype=jnp.float32,
+    )
+    return Pq(codebooks=codebooks)
+
+
+def avg_euclidean_loss(instances, pq):
+    """Mean Euclidean distance between instances and their
+    quantize→reconstruct roundtrip (reference: ``src/pq/pq.rs:365-376``)."""
+    codes = pq.quantize_batch(instances, dtype=jnp.uint8)
+    reconstructions = pq.reconstruct_batch(codes)
+    dists = jnp.sqrt(jnp.sum((instances - reconstructions) ** 2, axis=1))
+    return float(jnp.mean(dists))
+
+
+def test_quantize_batch_with_predefined_codebook():
+    # reference: src/pq/pq.rs:409-417
+    pq = make_test_pq()
+    np.testing.assert_array_equal(
+        pq.quantize_batch(ref_vectors(), dtype=jnp.int32), ref_quantizations()
+    )
+
+
+def test_quantize_with_predefined_codebook():
+    # reference: src/pq/pq.rs:419-429
+    pq = make_test_pq()
+    for vector, quantization in zip(ref_vectors(), ref_quantizations()):
+        np.testing.assert_array_equal(
+            pq.quantize_vector(vector, dtype=jnp.int32), quantization
+        )
+
+
+def test_quantize_with_pq():
+    # reference: src/pq/pq.rs:431-440 — statistical quality gate, loss is
+    # around 0.077 with k=128 codebooks over 256 uniform instances.
+    key = jax.random.PRNGKey(42)
+    data_key, train_key = jax.random.split(key)
+    instances = jax.random.uniform(data_key, (256, 20), dtype=jnp.float32)
+    pq = train_pq(train_key, instances, 10, 7, 10, 1)
+    loss = avg_euclidean_loss(instances, pq)
+    assert loss < 0.08, f"loss {loss} not under reference gate 0.08"
+
+
+def test_quantize_with_type():
+    # reference: src/pq/pq.rs:442-450 — k=256 exactly fits u8.
+    key = jax.random.PRNGKey(0)
+    pq = Pq(codebooks=jax.random.uniform(key, (1, 256, 10), dtype=jnp.float32))
+    codes = pq.quantize_vector(jax.random.uniform(key, (10,)), dtype=jnp.uint8)
+    assert codes.dtype == jnp.uint8
+
+
+def test_quantize_with_too_narrow_type():
+    # reference: src/pq/pq.rs:452-461 — k=257 must not fit u8.
+    key = jax.random.PRNGKey(0)
+    pq = Pq(codebooks=jax.random.uniform(key, (1, 257, 10), dtype=jnp.float32))
+    with pytest.raises(OverflowError, match="Cannot store centroids"):
+        pq.quantize_vector(jax.random.uniform(key, (10,)), dtype=jnp.uint8)
+
+
+def test_quantizer_lens():
+    # reference: src/pq/pq.rs:463-469
+    pq = make_test_pq()
+    assert pq.quantized_len == 2
+    assert pq.reconstructed_len == 6
+    assert pq.n_quantizer_centroids == 2
+    assert pq.n_subquantizers == 2
+
+
+def test_reconstruct_batch_with_predefined_codebook():
+    # reference: src/pq/pq.rs:471-478
+    pq = make_test_pq()
+    np.testing.assert_array_equal(
+        pq.reconstruct_batch(ref_quantizations()), ref_reconstructions()
+    )
+
+
+def test_reconstruct_with_predefined_codebook():
+    # reference: src/pq/pq.rs:480-490
+    pq = make_test_pq()
+    for quantization, reconstruction in zip(ref_quantizations(), ref_reconstructions()):
+        np.testing.assert_array_equal(pq.reconstruct(quantization), reconstruction)
+
+
+def test_pq_is_a_pytree():
+    pq = make_test_pq()
+    leaves = jax.tree_util.tree_leaves(pq)
+    assert len(leaves) == 1  # codebooks only; projection is None
+
+    roundtrip = jax.jit(lambda p: p)(pq)
+    np.testing.assert_array_equal(roundtrip.codebooks, pq.codebooks)
+
+
+def test_pq_constructor_validation():
+    with pytest.raises(ValueError, match="without quantizers"):
+        Pq(codebooks=jnp.zeros((0, 2, 3)))
+    with pytest.raises(ValueError, match="projection matrix shape"):
+        Pq(codebooks=jnp.zeros((2, 2, 3)), projection=jnp.zeros((4, 4)))
+
+
+def test_train_validation():
+    x = jnp.zeros((16, 8))
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(NSubquantizersOutsideRange):
+        train_pq(key, x, 0, 2, 1, 1)
+    with pytest.raises(NSubquantizersOutsideRange):
+        train_pq(key, x, 9, 2, 1, 1)
+    with pytest.raises(IncorrectNSubquantizerBits):
+        train_pq(key, x, 4, 0, 1, 1)
+    with pytest.raises(IncorrectNSubquantizerBits):
+        train_pq(key, x, 4, 5, 1, 1)  # max bits = log2(16) = 4
+    with pytest.raises(IncorrectNumberSubquantizers):
+        train_pq(key, x, 3, 2, 1, 1)
+    with pytest.raises(IncorrectNIterations):
+        train_pq(key, x, 4, 2, 0, 1)
+    with pytest.raises(IncorrectNAttempts):
+        train_pq(key, x, 4, 2, 1, 0)
+
+
+def test_train_with_attempts_not_worse():
+    key = jax.random.PRNGKey(1)
+    data_key, k1, k2 = jax.random.split(key, 3)
+    instances = jax.random.uniform(data_key, (128, 8), dtype=jnp.float32)
+    pq1 = train_pq(k1, instances, 4, 3, 5, 1)
+    pq5 = train_pq(k1, instances, 4, 3, 5, 5)
+    assert avg_euclidean_loss(instances, pq5) <= avg_euclidean_loss(instances, pq1) + 1e-6
+
+
+def test_quantize_roundtrip_dtype_u16():
+    # Code dtype is generic over integer widths (reference supports
+    # u8/u16/u32/usize; primitives assert the fit at src/pq/primitives.rs:31-34).
+    key = jax.random.PRNGKey(5)
+    pq = Pq(codebooks=jax.random.uniform(key, (2, 300, 4), dtype=jnp.float32))
+    x = jax.random.uniform(key, (7, 8), dtype=jnp.float32)
+    codes = pq.quantize_batch(x, dtype=jnp.uint16)
+    assert codes.dtype == jnp.uint16
+    out = pq.reconstruct_batch(codes)
+    assert out.shape == (7, 8)
