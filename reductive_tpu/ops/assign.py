@@ -1,0 +1,204 @@
+"""Fused PQ-encode / nearest-centroid Pallas kernel.
+
+The encode hot path (reference call stack: ``src/pq/pq.rs:256`` →
+``src/pq/primitives.rs:64-104`` → ``src/kmeans.rs:133-159`` →
+``src/linalg.rs:150-180``) computes, for every input row and every
+subquantizer, squared distances to all ``k`` centroids and takes the
+argmin.  Materialized naively, the ``(n, m, k)`` distance tensor is 16 GB
+at n=1M, m=16, k=256 — this kernel keeps it entirely in VMEM.
+
+Three TPU-specific design decisions (all measured on a v5e chip):
+
+1. **Block-diagonal weights.**  The per-subquantizer contraction is only
+   ``ds`` long (8 in the flagship config) while the MXU contracts 128
+   elements per pass.  Packing all ``m`` codebooks into one block-diagonal
+   ``(d, m*kp)`` matrix turns ``m`` tiny matmuls into a single full-K MXU
+   matmul; the zero blocks are exactly the padding the hardware would have
+   inserted anyway.
+
+2. **Transposed layout.**  Scores are computed as ``(m*kp, block_n)`` —
+   centroids on *sublanes*, instances on *lanes* — because Mosaic lowers
+   cross-**sublane** reductions efficiently while cross-lane argmin is an
+   order of magnitude slower (measured: 66 M vec/s transposed vs 10 M
+   lane-major for the identical computation).
+
+3. **Packed sortable keys.**  ``argmin`` with first-index tie-break is
+   done with a single ``min`` reduction: distances are bitcast to int32,
+   monotonically sign-flipped, the low ``ceil(log2 k)`` bits replaced by
+   the centroid index.  One min then yields value and index at once; ties
+   break to the smallest index like the reference
+   (``src/kmeans.rs:149-156``).  The coarsening costs ~``2^-(23-idx_bits)``
+   relative distance precision — far below the bfloat16 matmul noise of
+   the throughput mode, and irrelevant for correctness-mode tests which
+   use f32 compute.
+
+Matmul inputs are bfloat16 by default (f32 accumulation) — the throughput
+configuration of the MXU.  The f32-exact einsum path
+(:func:`reductive_tpu.pq.primitives.quantize_batch`) remains the default
+on the model API and doubles as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pq_encode", "assign_nearest", "pack_block_diagonal"]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def pack_block_diagonal(
+    codebooks: Array, compute_dtype=jnp.bfloat16
+) -> tuple[Array, Array, int]:
+    """Pack ``(m, k, ds)`` codebooks into the block-diagonal ``(d, m*kp)``
+    weight matrix plus the ``(1, m*kp)`` squared-norm row.
+
+    ``k`` is padded up to a sublane-aligned ``kp`` with ``+inf`` norms so
+    padded columns can never win the argmin.  Pack once per codebook;
+    reuse across encode calls.
+    """
+    m, k, ds = codebooks.shape
+    d = m * ds
+    kp = _round_up(k, 8)
+    W = jnp.zeros((d, m * kp), dtype=compute_dtype)
+    c_sqn = jnp.full((1, m * kp), jnp.inf, dtype=jnp.float32)
+    sq = jnp.einsum("mkd,mkd->mk", codebooks, codebooks, precision="highest")
+    for j in range(m):
+        W = jax.lax.dynamic_update_slice(
+            W, codebooks[j].T.astype(compute_dtype), (j * ds, j * kp)
+        )
+        c_sqn = jax.lax.dynamic_update_slice(c_sqn, sq[j][None, :], (0, j * kp))
+    return W, c_sqn, kp
+
+
+def _encode_kernel(xt_ref, wt_ref, csqn_ref, codes_ref, *,
+                   m, kp, idx_mask, compute_dtype, matmul_precision):
+    """One grid step: encode a (d, block_n) column tile of instances.
+
+    scores[(j, c), i] = codebook[j, c] . x[i, subvector j] via one MXU
+    matmul; per-subquantizer argmin via packed-key sublane min.
+    """
+    bn = xt_ref.shape[1]
+    s = jax.lax.dot_general(
+        wt_ref[:],
+        xt_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=matmul_precision,
+        preferred_element_type=jnp.float32,
+    )  # (m*kp, bn)
+    dists = csqn_ref[:].reshape(m * kp, 1) - (s + s)
+    # Monotonic int ordering of f32 (sign-flip transform), index in low bits.
+    ib = pltpu.bitcast(dists, jnp.int32)
+    c31 = jnp.int32(31)
+    c1 = jnp.int32(1)
+    key = ib ^ jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(ib, c31), c1
+    )
+    # Index-within-segment column: tiny (m*kp, 1) iota, broadcast over lanes.
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (m * kp, 1), 0) % kp
+    key = (key & ~idx_mask) | seg_iota
+    for j in range(m):
+        codes_ref[j, :] = jnp.min(key[j * kp:(j + 1) * kp, :], axis=0) & idx_mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "dtype", "compute_dtype", "interpret")
+)
+def pq_encode(
+    codebooks: Array,
+    x: Array,
+    *,
+    block_n: int = 512,
+    dtype=jnp.uint8,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Array:
+    """Encode ``(n, d)`` vectors to ``(n, m)`` codes with the fused kernel.
+
+    High-throughput serving counterpart of
+    :func:`reductive_tpu.pq.primitives.quantize_batch`.  With the default
+    ``compute_dtype=jnp.bfloat16``, distance cross terms are bfloat16
+    (f32 accumulation): ~0.7% of codes flip to a near-equidistant
+    neighbor vs the f32 path, changing reconstruction MSE by ~1e-5
+    relative (measured, m=16 k=256 Gaussian data).  Pass
+    ``compute_dtype=jnp.float32`` for near-exact agreement.
+
+    Args:
+      codebooks: ``(m, k, ds)`` centroid tensor.
+      x: ``(n, m * ds)`` instances.
+      block_n: instance columns per grid step (multiple of 128).
+      dtype: output code dtype (validated against ``k``).
+      compute_dtype: matmul input dtype (bfloat16 = MXU throughput mode).
+      interpret: run in the Pallas interpreter (for CPU tests).
+    """
+    from ..pq.primitives import check_code_dtype
+
+    check_code_dtype(codebooks, dtype)
+    m, k, ds = codebooks.shape
+    n, d = x.shape
+    if d != m * ds:
+        raise ValueError(
+            f"Quantizer and vector length mismatch: input has {d} columns, "
+            f"quantizer reconstructs {m * ds}"
+        )
+
+    W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype)
+    Wt = W.T  # (m*kp, d)
+
+    idx_bits = max(1, (kp - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+
+    matmul_precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    )
+    kernel = functools.partial(
+        _encode_kernel,
+        m=m,
+        kp=kp,
+        idx_mask=idx_mask,
+        compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
+    )
+    codes_t = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, block_n),),
+        in_specs=[
+            pl.BlockSpec((d, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        interpret=interpret,
+    )(x.T, Wt, c_sqn)
+    return codes_t.T.astype(dtype)
+
+
+def assign_nearest(
+    centroids: Array,
+    x: Array,
+    *,
+    block_n: int = 512,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Array:
+    """Nearest-centroid assignment via the fused kernel: the k-means assign
+    step (reference: ``src/kmeans.rs:133-159``) is PQ encode with a single
+    subquantizer."""
+    codes = pq_encode(
+        centroids[None, :, :],
+        x,
+        block_n=block_n,
+        dtype=jnp.int32,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    return codes[:, 0]
