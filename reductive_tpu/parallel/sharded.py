@@ -1,0 +1,252 @@
+"""Sharded k-means and PQ training/encode over a device mesh.
+
+What the reference cannot do: its training is bounded by one machine's RAM
+and one rayon pool (SURVEY.md §2, "Parallelism inventory").  Here Lloyd's
+iteration becomes an SPMD program:
+
+* instances ``(n, d)`` sharded along ``n`` over the ``data`` mesh axis;
+* codebooks ``(m, k, ds)`` replicated over ``data`` and (optionally)
+  sharded along ``m`` over the ``model`` axis — the ``m`` subquantizer
+  trainings are independent, so model parallelism costs zero
+  communication;
+* the centroid update's one-hot sums and counts are **psum**-reduced over
+  ``data`` (riding ICI within a slice), after which the count-guarded
+  divide happens replicated — numerically identical to the single-device
+  path, so all golden tests transfer.
+
+Two API styles are provided:
+
+* :func:`train_pq_sharded` / :func:`encode_sharded` — GSPMD style: the
+  exact single-device programs jitted with sharding annotations; XLA
+  inserts the collectives.
+* :func:`sharded_kmeans` / :func:`sharded_pq_train_step` — explicit
+  ``shard_map`` + ``psum`` versions, used where collective placement must
+  be exact (and as the multi-chip dry-run entry).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import check_quantizer_invariants
+from ..kmeans import NIterations
+from ..pq.model import Pq
+from ..pq.train import _train_codebooks
+
+__all__ = [
+    "sharded_kmeans",
+    "sharded_pq_train_step",
+    "train_pq_sharded",
+    "encode_sharded",
+]
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map + psum building blocks
+# ---------------------------------------------------------------------------
+
+
+def _local_stats(x: Array, centroids: Array) -> Tuple[Array, Array, Array]:
+    """Per-shard assign + partial statistics for one Lloyd's step.
+
+    Returns (sums (k, d), counts (k,), sse scalar-parts) computed from the
+    local instance shard only.  The caller psums these over the data axis.
+    """
+    from ..linalg import squared_euclidean_distance
+
+    dists = squared_euclidean_distance(x, centroids)
+    assignments = jnp.argmin(dists, axis=1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(assignments, centroids.shape[0], dtype=x.dtype)
+    sums = jnp.dot(onehot.T, x, precision="highest")
+    counts = jnp.sum(onehot, axis=0)
+    return sums, counts, assignments
+
+
+def _finish_update(sums: Array, counts: Array, dtype) -> Array:
+    """Count-guarded divide; empty clusters become the zero vector
+    (reference semantics: ``src/kmeans.rs:181,194-196``)."""
+    safe = jnp.maximum(counts, 1.0)
+    return jnp.where((counts > 0)[:, None], sums / safe[:, None], 0.0).astype(dtype)
+
+
+def sharded_kmeans_iteration(x_local: Array, centroids: Array, data_axis: str):
+    """One data-parallel Lloyd's iteration (call inside ``shard_map``).
+
+    ``x_local`` is this device's ``(n_local, d)`` shard; ``centroids`` is
+    replicated.  Statistics are psum-reduced over ``data_axis``; the
+    returned centroids and loss are replicated and identical to the
+    single-device :func:`reductive_tpu.kmeans.kmeans_iteration`.
+    """
+    sums, counts, assignments = _local_stats(x_local, centroids)
+    sums = jax.lax.psum(sums, data_axis)
+    counts = jax.lax.psum(counts, data_axis)
+    new_centroids = _finish_update(sums, counts, x_local.dtype)
+
+    assigned = jnp.take(new_centroids, assignments, axis=0)
+    local_sse = jnp.sum((assigned - x_local) ** 2)
+    sse = jax.lax.psum(local_sse, data_axis)
+    n_total = jax.lax.psum(jnp.asarray(x_local.size, x_local.dtype), data_axis)
+    return new_centroids, sse / n_total
+
+
+def sharded_kmeans(
+    mesh: Mesh,
+    x: Array,
+    centroids: Array,
+    n_iterations: int,
+    data_axis: str = "data",
+) -> Tuple[Array, Array]:
+    """Data-parallel Lloyd's from given initial centroids.
+
+    Instances shard along ``n`` over ``data_axis``; centroids replicate.
+    Numerically identical to the single-device path (the psum'd sums and
+    counts match the global one-hot matmul).
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P()),
+        out_specs=(P(), P()),
+    )
+    def run(x_local, centroids):
+        def body(_, carry):
+            c, _ = carry
+            return sharded_kmeans_iteration(x_local, c, data_axis)
+
+        init = (centroids, jnp.asarray(jnp.inf, x_local.dtype))
+        return jax.lax.fori_loop(0, n_iterations, body, init)
+
+    return jax.jit(run)(x, centroids)
+
+
+def sharded_pq_train_step(
+    xs: Array, codebooks: Array, data_axis: str = "data", model_axis: str = "model"
+) -> Tuple[Array, Array]:
+    """One full PQ training step over a 2-D (data x model) mesh — the
+    multi-chip dry-run entry (call inside ``shard_map``).
+
+    ``xs`` is the local ``(n_local, m_local, ds)`` shard: instances split
+    over ``data_axis``, subquantizers split over ``model_axis``.
+    ``codebooks`` is the local ``(m_local, k, ds)`` shard.  Per
+    subquantizer: assign, psum statistics over data, update.  No
+    communication crosses the model axis (subquantizers are independent);
+    the returned loss is psum'd over both axes to a global scalar.
+    """
+
+    def one_subquantizer(x_sq, cb):
+        sums, counts, assignments = _local_stats(x_sq, cb)
+        sums = jax.lax.psum(sums, data_axis)
+        counts = jax.lax.psum(counts, data_axis)
+        new_cb = _finish_update(sums, counts, x_sq.dtype)
+        assigned = jnp.take(new_cb, assignments, axis=0)
+        return new_cb, jnp.sum((assigned - x_sq) ** 2)
+
+    xs_m = jnp.moveaxis(xs, 1, 0)  # (m_local, n_local, ds)
+    new_codebooks, sse = jax.vmap(one_subquantizer)(xs_m, codebooks)
+    total_sse = jax.lax.psum(jax.lax.psum(jnp.sum(sse), data_axis), model_axis)
+    total_elems = jax.lax.psum(
+        jax.lax.psum(jnp.asarray(xs.size, xs.dtype), data_axis), model_axis
+    )
+    return new_codebooks, total_sse / total_elems
+
+
+# ---------------------------------------------------------------------------
+# GSPMD-style entries: same programs, sharding annotations
+# ---------------------------------------------------------------------------
+
+
+def train_pq_sharded(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+) -> Pq:
+    """Data-parallel :func:`reductive_tpu.pq.train.train_pq`.
+
+    The instance tensor is placed sharded along ``n`` over ``data_axis``;
+    the double-vmapped training program is reused unchanged — XLA
+    partitions the distance matmuls row-wise and inserts all-reduces for
+    the centroid statistics automatically (GSPMD).  Codebooks come out
+    replicated.
+    """
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
+    )
+    k = 2 ** n_subquantizer_bits
+    ds = d // n_subquantizers
+    xs = instances.reshape(n, n_subquantizers, ds)
+    xs = jax.device_put(xs, NamedSharding(mesh, P(data_axis, None, None)))
+    codebooks, _ = _train_codebooks(key, xs, k, n_iterations, n_attempts)
+    return Pq(codebooks=codebooks, projection=None)
+
+
+def encode_sharded(
+    pq: Pq,
+    x: Array,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    dtype=jnp.uint8,
+    use_kernel: bool = False,
+) -> Array:
+    """Distributed batch encode: ``x`` sharded along ``n``, codebooks
+    replicated, codes returned with the same row sharding.  Encode is
+    embarrassingly parallel — zero collectives.
+
+    With ``use_kernel=True`` the fused Pallas kernel runs per shard via
+    ``shard_map`` (each device encodes its local rows).
+    """
+    sharding = NamedSharding(mesh, P(data_axis, None))
+    x = jax.device_put(x, sharding)
+
+    if use_kernel:
+        from ..ops.assign import pq_encode
+
+        # Interpret the kernel when running on the CPU test mesh (which
+        # also lacks bf16 x bf16 dots); compiled Mosaic + bf16 on real TPU.
+        on_cpu = jax.default_backend() == "cpu"
+        interpret = on_cpu
+        compute_dtype = jnp.float32 if on_cpu else jnp.bfloat16
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None, None), P(data_axis, None)),
+            out_specs=P(data_axis, None),
+            check_vma=False,
+        )
+        def run(codebooks, x_local):
+            return pq_encode(
+                codebooks,
+                x_local,
+                dtype=dtype,
+                compute_dtype=compute_dtype,
+                interpret=interpret,
+            )
+
+        codebooks = jax.device_put(
+            pq.codebooks, NamedSharding(mesh, P(None, None, None))
+        )
+        if pq.projection is not None:
+            x = x @ jax.device_put(
+                pq.projection, NamedSharding(mesh, P(None, None))
+            )
+        return run(codebooks, x)
+
+    return jax.jit(
+        lambda p, x: p.quantize_batch(x, dtype=dtype),
+        out_shardings=sharding,
+    )(pq, x)
