@@ -16,7 +16,7 @@ Top-level surface::
     )
 """
 
-from . import errors, kmeans, linalg
+from . import errors, io, kmeans, linalg, search
 from .pq import (
     Pq,
     bucket_eigenvalues,
@@ -36,6 +36,8 @@ __all__ = [
     "bucket_eigenvalues",
     "create_projection_matrix",
     "errors",
+    "io",
     "kmeans",
     "linalg",
+    "search",
 ]

@@ -1,0 +1,72 @@
+"""Codebook artifact persistence.
+
+The reference keeps no serialization of its own — the model state is the
+``(projection?, quantizers)`` pair with public read accessors and a public
+constructor, and persistence is delegated to the downstream finalfusion
+crate (reference: ``src/pq/pq.rs:29-61,103-110,191-193``).  The TPU build
+ships a self-contained artifact instead: a single ``.npz`` holding the
+codebooks, the optional projection, and a format version.
+
+Because :class:`~reductive_tpu.pq.model.Pq` is a registered pytree, it
+also works directly with orbax/flax checkpointing for users embedded in a
+larger training system; this module is the lightweight standalone path
+(train once → artifact → serve anywhere).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+from typing import Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .pq.model import Pq
+
+__all__ = ["save", "load"]
+
+_FORMAT = "reductive-tpu-pq"
+_VERSION = 1
+
+
+def save(path: Union[str, os.PathLike], pq: Pq) -> None:
+    """Write a quantizer to ``path`` as a ``.npz`` artifact."""
+    arrays = {
+        "format": np.array(_FORMAT),
+        "version": np.array(_VERSION),
+        "codebooks": np.asarray(pq.codebooks),
+    }
+    if pq.projection is not None:
+        arrays["projection"] = np.asarray(pq.projection)
+    # Write via a buffer so a crash mid-write cannot leave a torn file,
+    # then atomically replace.
+    buf = _io.BytesIO()
+    np.savez(buf, **arrays)
+    tmp = f"{os.fspath(path)}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, os.fspath(path))
+
+
+def load(path: Union[str, os.PathLike]) -> Pq:
+    """Load a quantizer artifact written by :func:`save`.
+
+    The restored model passes the same constructor validation as
+    ``Pq.new`` in the reference (``src/pq/pq.rs:38-61``): non-empty
+    codebooks, square projection matching the reconstructed length.
+    """
+    with np.load(os.fspath(path), allow_pickle=False) as data:
+        if "format" not in data or str(data["format"]) != _FORMAT:
+            raise ValueError(f"{path!r} is not a reductive-tpu quantizer artifact")
+        version = int(data["version"])
+        if version > _VERSION:
+            raise ValueError(
+                f"artifact version {version} is newer than supported {_VERSION}"
+            )
+        codebooks = jnp.asarray(data["codebooks"])
+        projection = (
+            jnp.asarray(data["projection"]) if "projection" in data.files else None
+        )
+    return Pq(codebooks=codebooks, projection=projection)

@@ -21,10 +21,13 @@ Design differences from the reference, all TPU-motivated:
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import List
 
 import numpy as np
+
+logger = logging.getLogger("reductive_tpu")
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +103,11 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
     The eigendecomposition runs on device; only the ``d`` eigenvalues come
     back to the host for the (tiny, one-shot) greedy bucketing.
     """
+    # Phase marker mirroring the reference (src/pq/opq.rs:112-117).
+    logger.info(
+        "Creating projection matrix (%d instances, %d dimensions, %d subquantizers)",
+        instances.shape[0], instances.shape[1], n_subquantizers,
+    )
     cov = covariance(instances, 0)
     eigen_values, eigen_vectors = jnp.linalg.eigh(cov)
     buckets = bucket_eigenvalues(np.asarray(eigen_values), n_subquantizers)
@@ -173,6 +181,14 @@ def train_opq(
 
     codebooks = jax.vmap(init_one)(keys, jnp.moveaxis(rxs, 1, 0))
 
+    # The reference logs each iteration and phase from the host
+    # (src/pq/opq.rs:87,170,176); here all iterations run inside one jitted
+    # fori_loop, so the markers collapse to one host-side line.
+    logger.info(
+        "Running %d OPQ iterations (subquantizer update + Procrustes "
+        "projection update per iteration, jitted end-to-end)",
+        n_iterations,
+    )
     projection, codebooks = _alternate(instances, projection, codebooks, n_iterations)
     return Pq(codebooks=codebooks, projection=projection)
 

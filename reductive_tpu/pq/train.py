@@ -19,12 +19,15 @@ PRNG key — the counter-based JAX equivalent of uncorrelated streams.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import Array
+
+logger = logging.getLogger("reductive_tpu")
 
 from ..errors import check_quantizer_invariants
 from ..kmeans import NIterations, RandomInstanceCentroids, kmeans_with_centroids
@@ -100,8 +103,19 @@ def train_pq(
     )
     k = 2 ** n_subquantizer_bits
     ds = d // n_subquantizers
+    # Phase marker mirroring the reference's per-subquantizer log
+    # (src/pq/pq.rs:159) — here all m train at once in one program.
+    logger.info(
+        "Training %d PQ subquantizers (k=%d, %d iterations, %d attempts)",
+        n_subquantizers, k, n_iterations, n_attempts,
+    )
     xs = instances.reshape(n, n_subquantizers, ds)
-    codebooks, _ = _train_codebooks(key, xs, k, n_iterations, n_attempts)
+    codebooks, losses = _train_codebooks(key, xs, k, n_iterations, n_attempts)
+    if logger.isEnabledFor(logging.INFO):
+        logger.info(
+            "Per-subquantizer losses: %s",
+            [round(float(l), 6) for l in losses],
+        )
     return Pq(codebooks=codebooks, projection=None)
 
 

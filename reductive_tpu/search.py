@@ -1,0 +1,135 @@
+"""ADC (asymmetric distance computation) search over PQ-encoded corpora.
+
+The capability extension named by BASELINE.json config #5 ("multi-host
+streaming encode + ADC search").  The reference itself ships no search —
+retrieval lives downstream in finalfusion — but ADC is *the* standard use
+of a product quantizer (Jégou et al., 2011, §IV): distances from a query
+to millions of compressed vectors are computed from per-subquantizer
+lookup tables without reconstructing anything.
+
+TPU mapping: the per-vector table lookup ``sum_j T[j, codes[i, j]]`` is a
+scalar-gather loop on CPUs; here it becomes a matmul.  The ``(nq, m, k)``
+tables flatten to ``(nq, m*k)`` and the code matrix becomes a (virtual)
+``(n, m*k)`` multi-hot matrix — their product is exactly the ADC score
+matrix, computed on the MXU.  The multi-hot never materializes in HBM:
+XLA fuses the one-hot construction into the dot operand within each
+``lax.map`` chunk.
+
+All functions honor the quantizer's projection: queries are rotated into
+codebook space first (codes were produced there too), and Euclidean
+distances are preserved because the projection is orthonormal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .pq.model import Pq
+
+__all__ = ["adc_tables", "adc_scores", "search"]
+
+
+def adc_tables(pq: Pq, queries: Array, *, precision="highest") -> Array:
+    """Per-query squared-distance lookup tables.
+
+    Returns ``(nq, m, k)`` where entry ``[q, j, c]`` is the squared
+    Euclidean distance between subvector ``j`` of (rotated) query ``q``
+    and centroid ``c`` of subquantizer ``j``.
+    """
+    if queries.ndim != 2:
+        raise ValueError(f"queries must be (nq, d), got {queries.shape}")
+    codebooks = pq.codebooks
+    m, k, ds = codebooks.shape
+    if queries.shape[1] != m * ds:
+        raise ValueError(
+            f"query length {queries.shape[1]} does not match quantizer "
+            f"reconstructed length {m * ds}"
+        )
+    if pq.projection is not None:
+        queries = jnp.dot(queries, pq.projection, precision=precision)
+    qs = queries.reshape(-1, m, ds)
+    q_sqn = jnp.einsum("qmd,qmd->qm", qs, qs, precision=precision)
+    c_sqn = jnp.einsum("mkd,mkd->mk", codebooks, codebooks, precision=precision)
+    cross = jnp.einsum("qmd,mkd->qmk", qs, codebooks, precision=precision)
+    return q_sqn[:, :, None] + c_sqn[None, :, :] - (cross + cross)
+
+
+def _chunk_scores(tables_flat: Array, codes_chunk: Array, k: int) -> Array:
+    """Scores for one chunk of database codes: multi-hot matmul.
+
+    ``tables_flat`` is ``(nq, m*k)``; ``codes_chunk`` is ``(c, m)``.  The
+    one-hot expansion fuses into the dot — the ``(c, m*k)`` multi-hot is
+    never written to HBM.
+    """
+    c, m = codes_chunk.shape
+    offsets = jnp.arange(m, dtype=jnp.int32) * k
+    flat_codes = codes_chunk.astype(jnp.int32) + offsets[None, :]  # (c, m)
+    multi_hot = jax.nn.one_hot(flat_codes, m * k, dtype=tables_flat.dtype).sum(axis=1)
+    return jnp.dot(tables_flat, multi_hot.T, precision="highest")  # (nq, c)
+
+
+def adc_scores(
+    tables: Array, codes: Array, *, chunk_size: int = 16384
+) -> Array:
+    """Approximate squared distances from each query to each encoded vector.
+
+    ``tables`` is ``(nq, m, k)`` from :func:`adc_tables`; ``codes`` is the
+    ``(n, m)`` encoded corpus.  Returns ``(nq, n)``.  The corpus is
+    processed in ``chunk_size`` blocks under ``lax.map`` so the transient
+    multi-hot stays on-chip.
+    """
+    nq, m, k = tables.shape
+    n = codes.shape[0]
+    if codes.shape[1] != m:
+        raise ValueError(f"codes have {codes.shape[1]} subquantizers, tables have {m}")
+    tables_flat = tables.reshape(nq, m * k)
+
+    if n <= chunk_size:
+        return _chunk_scores(tables_flat, codes, k)
+
+    n_chunks = n // chunk_size
+    main = codes[: n_chunks * chunk_size].reshape(n_chunks, chunk_size, m)
+    scores = jax.lax.map(
+        lambda ch: _chunk_scores(tables_flat, ch, k), main
+    )  # (n_chunks, nq, chunk)
+    scores = jnp.moveaxis(scores, 0, 1).reshape(nq, n_chunks * chunk_size)
+    rem = n - n_chunks * chunk_size
+    if rem:
+        tail = _chunk_scores(tables_flat, codes[n_chunks * chunk_size:], k)
+        scores = jnp.concatenate([scores, tail], axis=1)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "chunk_size"))
+def _search_jit(pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int):
+    tables = adc_tables(pq, queries)
+    scores = adc_scores(tables, codes, chunk_size=chunk_size)
+    neg_dists, indices = jax.lax.top_k(-scores, top_k)
+    return -neg_dists, indices
+
+
+def search(
+    pq: Pq,
+    queries: Array,
+    codes: Array,
+    top_k: int = 10,
+    *,
+    chunk_size: int = 16384,
+) -> Tuple[Array, Array]:
+    """Top-``top_k`` nearest encoded vectors per query by ADC.
+
+    Returns ``(distances, indices)`` of shape ``(nq, top_k)`` each, sorted
+    ascending by approximate squared distance.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be >= 1")
+    if top_k > codes.shape[0]:
+        raise ValueError(
+            f"top_k={top_k} exceeds corpus size {codes.shape[0]}"
+        )
+    return _search_jit(pq, queries, codes, top_k, chunk_size)

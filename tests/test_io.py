@@ -1,0 +1,65 @@
+"""Tests for codebook artifact save/load."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import Pq
+from reductive_tpu import io as rio
+
+
+def test_roundtrip_plain(tmp_path):
+    key = jax.random.PRNGKey(0)
+    pq = Pq(codebooks=jax.random.normal(key, (4, 16, 8), dtype=jnp.float32))
+    path = tmp_path / "pq.npz"
+    rio.save(path, pq)
+    loaded = rio.load(path)
+    np.testing.assert_array_equal(np.asarray(loaded.codebooks), np.asarray(pq.codebooks))
+    assert loaded.projection is None
+
+
+def test_roundtrip_with_projection(tmp_path):
+    key = jax.random.PRNGKey(1)
+    kc, kp = jax.random.split(key)
+    proj, _ = jnp.linalg.qr(jax.random.normal(kp, (32, 32), dtype=jnp.float32))
+    pq = Pq(
+        codebooks=jax.random.normal(kc, (4, 16, 8), dtype=jnp.float32),
+        projection=proj,
+    )
+    path = tmp_path / "opq.npz"
+    rio.save(path, pq)
+    loaded = rio.load(path)
+    np.testing.assert_array_equal(np.asarray(loaded.projection), np.asarray(proj))
+
+    # The roundtripped model encodes identically.
+    x = jax.random.normal(key, (10, 32), dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(pq.quantize_batch(x)), np.asarray(loaded.quantize_batch(x))
+    )
+
+
+def test_dtype_preserved(tmp_path):
+    pq = Pq(codebooks=jnp.ones((2, 4, 3), dtype=jnp.float64))
+    path = tmp_path / "pq64.npz"
+    rio.save(path, pq)
+    assert rio.load(path).codebooks.dtype == jnp.float64
+
+
+def test_load_rejects_foreign_npz(tmp_path):
+    path = tmp_path / "other.npz"
+    np.savez(path, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not a reductive-tpu"):
+        rio.load(path)
+
+
+def test_save_is_atomic(tmp_path):
+    # A pre-existing artifact must survive intact if overwritten.
+    pq1 = Pq(codebooks=jnp.ones((1, 2, 2)))
+    pq2 = Pq(codebooks=2.0 * jnp.ones((1, 2, 2)))
+    path = tmp_path / "pq.npz"
+    rio.save(path, pq1)
+    rio.save(path, pq2)
+    np.testing.assert_array_equal(np.asarray(rio.load(path).codebooks), 2.0)
+    assert not (tmp_path / "pq.npz.tmp").exists()

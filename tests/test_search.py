@@ -1,0 +1,104 @@
+"""Tests for ADC search: tables/scores against brute-force reconstruction."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import Pq, train_pq
+from reductive_tpu.search import adc_scores, adc_tables, search
+
+
+def make_pq(key, m=4, k=16, ds=4, projection=False):
+    kc, kp = jax.random.split(key)
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    proj = None
+    if projection:
+        # Random orthonormal projection via QR.
+        a = jax.random.normal(kp, (m * ds, m * ds), dtype=jnp.float32)
+        proj, _ = jnp.linalg.qr(a)
+    return Pq(codebooks=cb, projection=proj)
+
+
+@pytest.mark.parametrize("projection", [False, True])
+def test_adc_matches_bruteforce(projection):
+    key = jax.random.PRNGKey(0)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, projection=projection)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (200, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (7, d), dtype=jnp.float32)
+
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    tables = adc_tables(pq, queries)
+    scores = adc_scores(tables, codes)
+
+    # Brute force: squared distance to the reconstructions (ADC distance is
+    # exactly |q - reconstruct(code)|^2 because projections are orthonormal).
+    rec = pq.reconstruct_batch(codes)
+    expected = jnp.sum((queries[:, None, :] - rec[None, :, :]) ** 2, axis=2)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(expected), atol=1e-3)
+
+
+def test_adc_scores_chunked_equals_unchunked():
+    key = jax.random.PRNGKey(1)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (1000, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (3, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    tables = adc_tables(pq, queries)
+    full = adc_scores(tables, codes, chunk_size=2048)
+    chunked = adc_scores(tables, codes, chunk_size=128)  # 1000 = 7*128 + 104
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-4)
+
+
+def test_search_topk():
+    key = jax.random.PRNGKey(2)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (500, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    queries = db[:5] + 0.01  # near-duplicates of known rows
+
+    dists, idx = search(pq, queries, codes, top_k=3)
+    assert dists.shape == (5, 3)
+    # Ascending order per row.
+    assert bool(jnp.all(dists[:, 0] <= dists[:, 1]))
+    # The near-duplicate query should rank a vector with the same code first.
+    top_codes = jnp.take(codes.astype(jnp.int32), idx[:, 0], axis=0)
+    query_codes = pq.quantize_batch(queries, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(top_codes), np.asarray(query_codes))
+
+
+def test_search_recall_against_exact():
+    # Statistical gate: ADC top-1 should usually contain the true nearest
+    # neighbor's code region for a trained quantizer.
+    key = jax.random.PRNGKey(3)
+    kd, kq, kt = jax.random.split(key, 3)
+    db = jax.random.normal(kd, (2000, 16), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (50, 16), dtype=jnp.float32)
+    pq = train_pq(kt, db, 4, 5, 8, 1)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    _, idx = search(pq, queries, codes, top_k=10)
+    exact = jnp.argmin(
+        jnp.sum((queries[:, None, :] - db[None, :, :]) ** 2, axis=2), axis=1
+    )
+    recall = float(jnp.mean(jnp.any(idx == exact[:, None], axis=1)))
+    assert recall > 0.6, f"ADC top-10 recall {recall} too low"
+
+
+def test_search_validation():
+    pq = make_pq(jax.random.PRNGKey(0))
+    codes = jnp.zeros((10, 4), dtype=jnp.uint8)
+    q = jnp.zeros((1, 16), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="top_k"):
+        search(pq, q, codes, top_k=0)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        search(pq, q, codes, top_k=11)
+    with pytest.raises(ValueError, match="does not match"):
+        adc_tables(pq, jnp.zeros((1, 8)))
