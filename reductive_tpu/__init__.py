@@ -16,7 +16,7 @@ Top-level surface::
     )
 """
 
-from . import errors, io, kmeans, linalg, search
+from . import data, errors, io, kmeans, linalg, native, search
 from .pq import (
     Pq,
     bucket_eigenvalues,
@@ -35,9 +35,11 @@ __all__ = [
     "train_gaussian_opq",
     "bucket_eigenvalues",
     "create_projection_matrix",
+    "data",
     "errors",
     "io",
     "kmeans",
     "linalg",
+    "native",
     "search",
 ]

@@ -1,0 +1,121 @@
+"""Tests for the native IO runtime and the streaming encode pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import Pq
+from reductive_tpu.data import stream_encode, stream_encode_batches
+from reductive_tpu.native import (
+    NATIVE_AVAILABLE,
+    VecsReader,
+    pack_u4,
+    unpack_u4,
+    write_fvecs,
+)
+
+
+def test_native_library_builds():
+    # The toolchain is part of the environment contract; the native path
+    # must actually be active here, not silently falling back.
+    assert NATIVE_AVAILABLE
+
+
+def make_fvecs(tmp_path, n=100, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    path = str(tmp_path / "data.fvecs")
+    write_fvecs(path, data)
+    return path, data
+
+
+def test_vecs_reader_fvecs(tmp_path):
+    path, data = make_fvecs(tmp_path)
+    with VecsReader(path) as r:
+        assert len(r) == 100
+        assert r.dim == 16
+        np.testing.assert_array_equal(r.read(0, 100), data)
+        np.testing.assert_array_equal(r.read(37, 5), data[37:42])
+        with pytest.raises(IndexError):
+            r.read(90, 20)
+
+
+def test_vecs_reader_bvecs(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=(50, 8), dtype=np.uint8)
+    path = str(tmp_path / "data.bvecs")
+    with open(path, "wb") as f:
+        header = np.asarray([8], dtype=np.int32).tobytes()
+        for row in data:
+            f.write(header)
+            f.write(row.tobytes())
+    with VecsReader(path) as r:
+        assert r.dim == 8 and len(r) == 50
+        np.testing.assert_array_equal(r.read(0, 50), data.astype(np.float32))
+
+
+def test_vecs_reader_batches(tmp_path):
+    path, data = make_fvecs(tmp_path, n=100)
+    with VecsReader(path) as r:
+        chunks = list(r.batches(32))
+    assert [off for off, _ in chunks] == [0, 32, 64, 96]
+    assert chunks[-1][1].shape == (4, 16)
+    np.testing.assert_array_equal(np.concatenate([c for _, c in chunks]), data)
+
+
+def test_vecs_reader_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.fvecs"
+    bad.write_bytes(b"\x01\x00\x00\x00\xff")  # truncated row
+    with pytest.raises(OSError):
+        VecsReader(str(bad))
+
+
+@pytest.mark.parametrize("n", [10, 11, 0])
+def test_pack_unpack_u4_roundtrip(n):
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 16, size=n, dtype=np.uint8)
+    packed = pack_u4(codes)
+    assert packed.size == (n + 1) // 2
+    np.testing.assert_array_equal(unpack_u4(packed, n), codes)
+
+
+def test_pack_u4_matches_numpy_fallback():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 16, size=1001, dtype=np.uint8)
+    packed = pack_u4(codes)
+    lo = codes[0::2] & 0x0F
+    hi = np.zeros_like(lo)
+    hi[: codes.size // 2] = codes[1::2] & 0x0F
+    np.testing.assert_array_equal(packed, lo | (hi << 4))
+
+
+def test_stream_encode_matches_batch_encode(tmp_path):
+    key = jax.random.PRNGKey(0)
+    pq = Pq(codebooks=jax.random.normal(key, (4, 16, 4), dtype=jnp.float32))
+    path, data = make_fvecs(tmp_path, n=333, dim=16, seed=4)
+
+    expected = np.asarray(pq.quantize_batch(jnp.asarray(data), dtype=jnp.uint8))
+    with VecsReader(path) as r:
+        got = stream_encode(pq, r, batch_size=100, use_kernel=False)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_stream_encode_batches_order_and_tail():
+    key = jax.random.PRNGKey(1)
+    pq = Pq(codebooks=jax.random.normal(key, (2, 8, 4), dtype=jnp.float32))
+    rng = np.random.default_rng(5)
+    batches = [(0, rng.standard_normal((64, 8)).astype(np.float32)),
+               (64, rng.standard_normal((64, 8)).astype(np.float32)),
+               (128, rng.standard_normal((10, 8)).astype(np.float32))]
+    out = list(
+        stream_encode_batches(pq, iter(batches), batch_size=64, use_kernel=False)
+    )
+    assert [off for off, _ in out] == [0, 64, 128]
+    assert out[-1][1].shape == (10, 2)
+    full = np.concatenate([c for _, c in out])
+    expected = np.asarray(
+        pq.quantize_batch(jnp.asarray(np.concatenate([b for _, b in batches])))
+    )
+    np.testing.assert_array_equal(full, expected)
