@@ -42,7 +42,7 @@ def main() -> None:
     codebooks = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
 
     if on_tpu:
-        fn = jax.jit(lambda c, x: pq_encode(c, x, block_n=1024, dtype=jnp.uint8))
+        fn = jax.jit(lambda c, x: pq_encode(c, x, block_n=2048, dtype=jnp.uint8))
     else:  # CPU fallback: einsum path (Mosaic unavailable)
         fn = jax.jit(lambda c, x: primitives.quantize_batch(c, x, dtype=jnp.uint8))
 

@@ -79,18 +79,20 @@ def pack_block_diagonal(
     return W, c_sqn, kp
 
 
-def _encode_kernel(xt_ref, wt_ref, csqn_ref, codes_ref, *,
+def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
                    m, kp, idx_mask, compute_dtype, matmul_precision):
-    """One grid step: encode a (d, block_n) column tile of instances.
+    """One grid step: encode a (block_n, d) row tile of instances.
 
     scores[(j, c), i] = codebook[j, c] . x[i, subvector j] via one MXU
-    matmul; per-subquantizer argmin via packed-key sublane min.
+    matmul — the RHS contracts on its own feature dim (dimension_numbers
+    ``(1,), (1,)``), so the instance tile is consumed in natural row-major
+    layout with no transpose anywhere; per-subquantizer argmin via
+    packed-key sublane min.
     """
-    bn = xt_ref.shape[1]
     s = jax.lax.dot_general(
         wt_ref[:],
-        xt_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        x_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         precision=matmul_precision,
         preferred_element_type=jnp.float32,
     )  # (m*kp, bn)
@@ -116,7 +118,7 @@ def pq_encode(
     codebooks: Array,
     x: Array,
     *,
-    block_n: int = 512,
+    block_n: int = 2048,
     dtype=jnp.uint8,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -171,14 +173,14 @@ def pq_encode(
         kernel,
         grid=(pl.cdiv(n, block_n),),
         in_specs=[
-            pl.BlockSpec((d, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
         interpret=interpret,
-    )(x.T, Wt, c_sqn)
+    )(x, Wt, c_sqn)
     return codes_t.T.astype(dtype)
 
 
