@@ -1,0 +1,235 @@
+"""Benchmark suite: the reference's criterion harness shapes plus the
+BASELINE.json workload configs, on real hardware.
+
+The reference defines benchmark *shapes* but stores no numbers
+(``benches/pq.rs``, ``benches/linalg.rs`` — see BASELINE.md).  This runner
+measures the TPU build on those same shapes plus the five driver-set
+workload configs, and prints one JSON line per benchmark (plus a summary
+file when ``--out`` is given).
+
+Usage:  python benches/run.py [--quick] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(x) -> None:
+    """Force completion with a host fetch (works through the axon tunnel)."""
+    jnp.sum(jnp.asarray(x, dtype=jnp.float32) if x.dtype != jnp.float32 else x).item()
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    sync(out if not isinstance(out, tuple) else out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out if not isinstance(out, tuple) else out[0])
+    return (time.perf_counter() - t0) / iters
+
+
+RESULTS = []
+
+
+def record(name, seconds, unit="ms", extra=None):
+    value = seconds * 1e3 if unit == "ms" else seconds
+    entry = {"bench": name, "value": round(value, 4), "unit": unit}
+    if extra:
+        entry.update(extra)
+    RESULTS.append(entry)
+    print(json.dumps(entry))
+
+
+def bench_linalg(quick):
+    """Reference shapes: benches/linalg.rs:8-59."""
+    from reductive_tpu.linalg import covariance, squared_euclidean_distance
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (50, 100), dtype=jnp.float32)
+    cov = jax.jit(lambda x: covariance(x, 0))
+    record("covariance_axis0_50x100", timeit(cov, a))
+
+    u = jax.random.normal(key, (200, 50), dtype=jnp.float32)
+    v = jax.random.normal(key, (50, 50), dtype=jnp.float32)
+    sq = jax.jit(squared_euclidean_distance)
+    record("squared_euclidean_distance_200x50_50x50", timeit(sq, u, v))
+
+
+def bench_reference_pq_shapes(quick):
+    """Reference shapes: benches/pq.rs:8-55 — 100x128, m=16, k=16 (4 bit)."""
+    from reductive_tpu.pq import primitives
+
+    key = jax.random.PRNGKey(1)
+    kx, kc = jax.random.split(key)
+    x = jax.random.normal(kx, (100, 128), dtype=jnp.float32)
+    cb = jax.random.normal(kc, (16, 16, 8), dtype=jnp.float32)
+    enc = jax.jit(lambda c, x: primitives.quantize_batch(c, x, dtype=jnp.uint8))
+    record("pq_quantize_batch_100x128_m16_k16", timeit(enc, cb, x))
+    codes = enc(cb, x)
+    dec = jax.jit(primitives.reconstruct_batch)
+    record("pq_reconstruct_batch_100x16", timeit(dec, cb, codes))
+
+
+def bench_config1(quick):
+    """PQ m=4, k=256 on 10k x 64 Gaussian: train + encode + reconstruct."""
+    from reductive_tpu import train_pq
+
+    key = jax.random.PRNGKey(2)
+    kx, kt = jax.random.split(key)
+    n = 2_000 if quick else 10_000
+    x = jax.random.normal(kx, (n, 64), dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    pq = train_pq(kt, x, 4, 8, 10, 1)
+    sync(pq.codebooks)
+    record("config1_train_pq_m4_k256_10kx64", time.perf_counter() - t0,
+           extra={"note": "includes jit compile"})
+
+    enc = jax.jit(lambda p, x: p.quantize_batch(x))
+    codes = enc(pq, x)
+    record("config1_encode", timeit(enc, pq, x))
+    dec = jax.jit(lambda p, c: p.reconstruct_batch(c))
+    record("config1_reconstruct", timeit(dec, pq, codes))
+    rec = dec(pq, codes)
+    mse = float(jnp.mean((x - rec) ** 2))
+    RESULTS.append({"bench": "config1_recon_mse", "value": round(mse, 6), "unit": "mse"})
+    print(json.dumps(RESULTS[-1]))
+
+
+def bench_config2(quick):
+    """PQ m=16, k=256 on 1M SIFT-style 128-d vectors: the headline encode."""
+    from reductive_tpu.ops import pq_encode
+
+    key = jax.random.PRNGKey(3)
+    kx, kc = jax.random.split(key)
+    n = 100_000 if quick else 1_000_000
+    x = jax.random.normal(kx, (n, 128), dtype=jnp.float32)
+    cb = jax.random.normal(kc, (16, 256, 8), dtype=jnp.float32)
+    fast = jax.jit(lambda c, x: pq_encode(c, x, dtype=jnp.uint8))
+    dt = timeit(fast, cb, x, iters=8)
+    record("config2_encode_1Mx128_m16_k256_kernel", dt,
+           extra={"vectors_per_sec": round(n / dt, 1)})
+
+
+def bench_config3(quick):
+    """GaussianOpq m=20, k=256 on 300-d embeddings (closed-form rotation).
+
+    (BASELINE.json says m=16 on 300-d, but 300 % 16 != 0 violates the
+    reference's own divisibility invariant — src/pq/pq.rs:84-89 — so the
+    nearest valid config m=20, ds=15 is used.)
+    """
+    from reductive_tpu import train_gaussian_opq
+
+    key = jax.random.PRNGKey(4)
+    kx, kt = jax.random.split(key)
+    n = 4_000 if quick else 50_000
+    x = jax.random.normal(kx, (n, 300), dtype=jnp.float32)
+    t0 = time.perf_counter()
+    pq = train_gaussian_opq(kt, x, 20, 8, 10, 1)
+    sync(pq.codebooks)
+    record("config3_train_gaussian_opq_m20_k256_300d", time.perf_counter() - t0,
+           extra={"note": "includes jit compile"})
+
+
+def bench_config4(quick):
+    """Opq full alternating optimization, m=24, k=256 on 768-d embeddings."""
+    from reductive_tpu import train_opq
+
+    key = jax.random.PRNGKey(5)
+    kx, kt = jax.random.split(key)
+    n = 4_000 if quick else 20_000
+    x = jax.random.normal(kx, (n, 768), dtype=jnp.float32)
+    t0 = time.perf_counter()
+    pq = train_opq(kt, x, 24, 8, 5 if quick else 10)
+    sync(pq.codebooks)
+    record("config4_train_opq_m24_k256_768d", time.perf_counter() - t0,
+           extra={"note": "includes jit compile"})
+
+
+def bench_config5(quick):
+    """Streaming encode + ADC search on a 768-d corpus."""
+    from reductive_tpu import Pq
+    from reductive_tpu.data import stream_encode_batches
+    from reductive_tpu.search import search
+
+    key = jax.random.PRNGKey(6)
+    kx, kc, kq = jax.random.split(key, 3)
+    # NOTE: in this environment host->device goes through a network tunnel,
+    # so the streaming phase measures tunnel bandwidth, not the encode
+    # pipeline (on a real TPU VM the same path rides PCIe).  Keep the
+    # streamed corpus small; config2 measures on-device encode throughput.
+    n = 20_000 if quick else 65_536
+    batch = 16_384
+    d, m, k = 768, 24, 256
+    cb = jax.random.normal(kc, (m, k, d // m), dtype=jnp.float32)
+    pq = Pq(codebooks=cb)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    chunks = [
+        (off, rng.standard_normal((min(batch, n - off), d)).astype(np.float32))
+        for off in range(0, n, batch)
+    ]
+    t0 = time.perf_counter()
+    codes = np.concatenate(
+        [c for _, c in stream_encode_batches(pq, iter(chunks), batch_size=batch)]
+    )
+    dt = time.perf_counter() - t0
+    record("config5_stream_encode_768d", dt,
+           extra={"vectors_per_sec": round(n / dt, 1),
+                  "note": "includes compile; tunnel-bound host->device here"})
+
+    queries = jax.random.normal(kq, (16, d), dtype=jnp.float32)
+    codes_j = jnp.asarray(codes)
+    if not quick:
+        # Search over a larger on-device corpus than was streamed.
+        extra_codes = pq.quantize_batch(
+            jax.random.normal(kx, (500_000 - n, d), dtype=jnp.float32)
+        )
+        codes_j = jnp.concatenate([codes_j, extra_codes])
+        n = codes_j.shape[0]
+    fn = lambda: search(pq, queries, codes_j, top_k=10)[1]
+    dt = timeit(lambda: fn(), iters=3)
+    record("config5_adc_search_16q", dt,
+           extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (CPU/CI)")
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated bench group names")
+    args = ap.parse_args()
+
+    groups = {
+        "linalg": bench_linalg,
+        "refshapes": bench_reference_pq_shapes,
+        "config1": bench_config1,
+        "config2": bench_config2,
+        "config3": bench_config3,
+        "config4": bench_config4,
+        "config5": bench_config5,
+    }
+    selected = args.only.split(",") if args.only else list(groups)
+    for name in selected:
+        groups[name](args.quick)
+
+    if args.out:
+        Path(args.out).write_text(json.dumps(RESULTS, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,35 +80,64 @@ def pack_block_diagonal(
 
 
 def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
-                   m, kp, idx_mask, compute_dtype, matmul_precision):
+                   m, kp, groups, idx_mask, compute_dtype, matmul_precision):
     """One grid step: encode a (block_n, d) row tile of instances.
 
-    scores[(j, c), i] = codebook[j, c] . x[i, subvector j] via one MXU
-    matmul — the RHS contracts on its own feature dim (dimension_numbers
+    scores[(j, c), i] = codebook[j, c] . x[i, subvector j] via MXU
+    matmuls — the RHS contracts on its own feature dim (dimension_numbers
     ``(1,), (1,)``), so the instance tile is consumed in natural row-major
     layout with no transpose anywhere; per-subquantizer argmin via
     packed-key sublane min.
+
+    The ``m`` subquantizers are processed in ``groups`` chunks so the live
+    ``(chunk*kp, block_n)`` score/key buffers stay within the VMEM budget
+    for large-``m``/large-``d`` configurations.
     """
-    s = jax.lax.dot_general(
-        wt_ref[:],
-        x_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=matmul_precision,
-        preferred_element_type=jnp.float32,
-    )  # (m*kp, bn)
-    dists = csqn_ref[:].reshape(m * kp, 1) - (s + s)
-    # Monotonic int ordering of f32 (sign-flip transform), index in low bits.
-    ib = pltpu.bitcast(dists, jnp.int32)
-    c31 = jnp.int32(31)
-    c1 = jnp.int32(1)
-    key = ib ^ jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(ib, c31), c1
+    x = x_ref[:].astype(compute_dtype)
+    per = m // groups
+    rows = per * kp
+    for g in range(groups):
+        s = jax.lax.dot_general(
+            wt_ref[g * rows:(g + 1) * rows, :],
+            x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=matmul_precision,
+            preferred_element_type=jnp.float32,
+        )  # (rows, bn)
+        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - (s + s)
+        # Monotonic int ordering of f32 (sign-flip), index in low bits.
+        ib = pltpu.bitcast(dists, jnp.int32)
+        c31 = jnp.int32(31)
+        c1 = jnp.int32(1)
+        key = ib ^ jax.lax.shift_right_logical(
+            jax.lax.shift_right_arithmetic(ib, c31), c1
+        )
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % kp
+        key = (key & ~idx_mask) | seg_iota
+        for j in range(per):
+            codes_ref[g * per + j, :] = (
+                jnp.min(key[j * kp:(j + 1) * kp, :], axis=0) & idx_mask
+            )
+
+
+def _choose_tiling(m: int, kp: int, d: int, compute_itemsize: int,
+                   block_n: int | None) -> tuple[int, int]:
+    """Pick (block_n, groups) so the kernel's live VMEM fits the ~14 MB
+    budget: resident W (m*kp, d) + x tile (block_n, d) f32 + ~3 transient
+    (m*kp/groups, block_n) f32/int32 buffers."""
+    budget = 14 * (1 << 20)
+    w_bytes = m * kp * d * compute_itemsize
+    candidates_bn = [block_n] if block_n else [2048, 1024, 512, 256, 128]
+    for bn in candidates_bn:
+        x_bytes = bn * d * 4
+        for groups in [g for g in range(1, m + 1) if m % g == 0]:
+            buf_bytes = (m // groups) * kp * bn * 4 * 3
+            if w_bytes + x_bytes + buf_bytes <= budget:
+                return bn, groups
+    raise ValueError(
+        f"no VMEM-feasible tiling for m={m}, k~{kp}, d={d}; "
+        "use the einsum path (reductive_tpu.pq.primitives.quantize_batch)"
     )
-    # Index-within-segment column: tiny (m*kp, 1) iota, broadcast over lanes.
-    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (m * kp, 1), 0) % kp
-    key = (key & ~idx_mask) | seg_iota
-    for j in range(m):
-        codes_ref[j, :] = jnp.min(key[j * kp:(j + 1) * kp, :], axis=0) & idx_mask
 
 
 @functools.partial(
@@ -118,7 +147,7 @@ def pq_encode(
     codebooks: Array,
     x: Array,
     *,
-    block_n: int = 2048,
+    block_n: int | None = None,
     dtype=jnp.uint8,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -136,7 +165,8 @@ def pq_encode(
     Args:
       codebooks: ``(m, k, ds)`` centroid tensor.
       x: ``(n, m * ds)`` instances.
-      block_n: instance columns per grid step (multiple of 128).
+      block_n: instance rows per grid step; auto-tuned against the VMEM
+        budget when omitted (2048 for the flagship m=16 d=128 config).
       dtype: output code dtype (validated against ``k``).
       compute_dtype: matmul input dtype (bfloat16 = MXU throughput mode).
       interpret: run in the Pallas interpreter (for CPU tests).
@@ -154,6 +184,9 @@ def pq_encode(
 
     W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype)
     Wt = W.T  # (m*kp, d)
+    block_n, groups = _choose_tiling(
+        m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n
+    )
 
     idx_bits = max(1, (kp - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
@@ -165,6 +198,7 @@ def pq_encode(
         _encode_kernel,
         m=m,
         kp=kp,
+        groups=groups,
         idx_mask=idx_mask,
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,

@@ -60,17 +60,23 @@ def adc_tables(pq: Pq, queries: Array, *, precision="highest") -> Array:
 
 
 def _chunk_scores(tables_flat: Array, codes_chunk: Array, k: int) -> Array:
-    """Scores for one chunk of database codes: multi-hot matmul.
+    """Scores for one chunk of database codes.
 
-    ``tables_flat`` is ``(nq, m*k)``; ``codes_chunk`` is ``(c, m)``.  The
-    one-hot expansion fuses into the dot — the ``(c, m*k)`` multi-hot is
-    never written to HBM.
+    ``tables_flat`` is ``(nq, m*k)``; ``codes_chunk`` is ``(c, m)``.  One
+    ``(nq, k) x (k, c)`` MXU matmul per subquantizer against the one-hot of
+    that subquantizer's code column — the transient one-hot is only
+    ``(c, k)`` and the accumulation happens in f32.
     """
     c, m = codes_chunk.shape
-    offsets = jnp.arange(m, dtype=jnp.int32) * k
-    flat_codes = codes_chunk.astype(jnp.int32) + offsets[None, :]  # (c, m)
-    multi_hot = jax.nn.one_hot(flat_codes, m * k, dtype=tables_flat.dtype).sum(axis=1)
-    return jnp.dot(tables_flat, multi_hot.T, precision="highest")  # (nq, c)
+    nq = tables_flat.shape[0]
+    dtype = tables_flat.dtype
+    scores = jnp.zeros((nq, c), dtype=dtype)
+    for j in range(m):
+        onehot = jax.nn.one_hot(codes_chunk[:, j].astype(jnp.int32), k, dtype=dtype)
+        scores = scores + jnp.dot(
+            tables_flat[:, j * k:(j + 1) * k], onehot.T, precision="highest"
+        )
+    return scores
 
 
 def adc_scores(
