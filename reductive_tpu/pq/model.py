@@ -89,10 +89,24 @@ class Pq:
 
     # -- encode (reference: src/pq/pq.rs:252-303)
 
-    def quantize_batch(self, x: Array, dtype=jnp.uint8, *, precision="highest") -> Array:
-        """Encode ``(n, d)`` vectors to ``(n, m)`` codes of ``dtype``."""
+    def quantize_batch(
+        self, x: Array, dtype=jnp.uint8, *, precision="highest", method: str = "exact"
+    ) -> Array:
+        """Encode ``(n, d)`` vectors to ``(n, m)`` codes of ``dtype``.
+
+        ``method="exact"`` (default) uses the f32 einsum path;
+        ``method="kernel"`` routes through the fused Pallas kernel
+        (:func:`reductive_tpu.ops.assign.pq_encode`) — the bf16 serving
+        fast path, ~5x faster on TPU with ~0.7% near-tie code flips.
+        """
         if self.projection is not None:
             x = jnp.dot(x, self.projection, precision=precision)
+        if method == "kernel":
+            from ..ops.assign import pq_encode
+
+            return pq_encode(self.codebooks, x, dtype=dtype)
+        if method != "exact":
+            raise ValueError(f"unknown quantize method {method!r}")
         return primitives.quantize_batch(self.codebooks, x, dtype=dtype, precision=precision)
 
     def quantize_vector(self, x: Array, dtype=jnp.uint8, *, precision="highest") -> Array:

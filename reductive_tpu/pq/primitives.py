@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -94,12 +95,22 @@ def quantize(codebooks: Array, x: Array, dtype=jnp.uint8, *, precision="highest"
     return quantize_batch(codebooks, x[None, :], dtype=dtype, precision=precision)[0]
 
 
-def reconstruct_batch(codebooks: Array, codes: Array) -> Array:
+def reconstruct_batch(codebooks: Array, codes: Array, *, method: str = "auto") -> Array:
     """Decode a batch of code rows back to approximate vectors.
 
-    ``codes`` is ``(n, m)``; returns ``(n, m * ds)``.  One vectorized
-    gather replaces the reference's per-row chunk-assign loop
-    (``src/pq/primitives.rs:150-173``).
+    ``codes`` is ``(n, m)``; returns ``(n, m * ds)``.  Replaces the
+    reference's per-row chunk-assign loop
+    (``src/pq/primitives.rs:150-173``) with one vectorized op.
+
+    Two bit-identical implementations (``method``):
+
+    * ``"onehot"`` — ``one_hot(codes) @ codebooks`` on the MXU with
+      ``precision="highest"``.  Exact because each one-hot row has a
+      single nonzero and bf16x6 splits represent f32 exactly; measured
+      5x faster than the gather on a v5e (47.7 vs 8.8 M vec/s at the
+      flagship shape — TPU gathers are scalar-ish).
+    * ``"gather"`` — ``take_along_axis`` row gather (fast on CPU).
+    * ``"auto"`` — onehot on TPU backends, gather elsewhere.
     """
     m, k, ds = codebooks.shape
     if codes.ndim != 2 or codes.shape[1] != m:
@@ -107,11 +118,21 @@ def reconstruct_batch(codebooks: Array, codes: Array) -> Array:
             f"Quantization length does not match number of subquantizers: "
             f"{codes.shape} vs m={m}"
         )
+    if method == "auto":
+        method = "gather" if jax.default_backend() == "cpu" else "onehot"
     idx = codes.astype(jnp.int32)
-    # (n, m, ds): for each subquantizer j, row codes[:, j] of codebooks[j].
-    gathered = jnp.take_along_axis(codebooks[None, :, :, :],
-                                   idx[:, :, None, None], axis=2)[:, :, 0, :]
-    return gathered.reshape(codes.shape[0], m * ds)
+    if method == "onehot":
+        onehot = jax.nn.one_hot(idx, k, dtype=codebooks.dtype)  # (n, m, k)
+        out = jnp.einsum(
+            "nmk,mkd->nmd", onehot, codebooks, precision="highest",
+            preferred_element_type=codebooks.dtype,
+        )
+        return out.reshape(codes.shape[0], m * ds)
+    if method == "gather":
+        gathered = jnp.take_along_axis(codebooks[None, :, :, :],
+                                       idx[:, :, None, None], axis=2)[:, :, 0, :]
+        return gathered.reshape(codes.shape[0], m * ds)
+    raise ValueError(f"unknown reconstruct method {method!r}")
 
 
 def reconstruct(codebooks: Array, code: Array) -> Array:
