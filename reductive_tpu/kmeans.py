@@ -254,7 +254,9 @@ def kmeans_with_centroids(
         )
 
     if isinstance(stop, NIterations):
-        if stop.n <= 0:
+        # stop.n may be a traced value (dynamic iteration count — one
+        # compilation serves all counts); validate only when concrete.
+        if isinstance(stop.n, int) and stop.n <= 0:
             raise ValueError("The number of iterations must be >= 1")
 
         def body(_, carry):

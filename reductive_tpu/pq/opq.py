@@ -115,9 +115,9 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
     return eigen_vectors[:, permutation]
 
 
-@partial(jax.jit, static_argnames=("n_iterations",), donate_argnums=())
+@jax.jit
 def _alternate(
-    x: Array, projection: Array, codebooks: Array, n_iterations: int
+    x: Array, projection: Array, codebooks: Array, n_iterations: Array
 ) -> tuple[Array, Array]:
     """The OPQ alternating-minimization loop, fully jitted.
 
@@ -128,6 +128,9 @@ def _alternate(
     3. quantize→reconstruct roundtrip in the rotated space;
     4. Procrustes update: ``R = U V^T`` from ``svd(X^T X_hat)``
        (Ge et al., 2013, Eq. 7).
+
+    ``n_iterations`` is a *runtime* value (the ``fori_loop`` bound may be
+    traced), so one ~50 s compilation serves every iteration count.
     """
     m, k, ds = codebooks.shape
     n = x.shape[0]

@@ -46,16 +46,18 @@ def _subquantizer_initial_centroids(key: Array, xs: Array, k: int) -> Array:
     return jnp.take(xs, indices, axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "n_iterations", "n_attempts"))
+@partial(jax.jit, static_argnames=("k", "n_attempts"))
 def _train_codebooks(
-    key: Array, xs: Array, k: int, n_iterations: int, n_attempts: int
+    key: Array, xs: Array, k: int, n_iterations, n_attempts: int
 ) -> tuple[Array, Array]:
     """Train all ``m`` subquantizers, ``n_attempts`` times each, in one
     compiled program.
 
     ``xs`` is the instance tensor reshaped to ``(n, m, ds)``.  Returns the
     best-of-attempts ``(m, k, ds)`` codebooks and the per-subquantizer
-    losses ``(m,)``.
+    losses ``(m,)``.  ``n_iterations`` is a runtime value, so one
+    compilation per ``(shape, k, n_attempts)`` serves every iteration
+    count.
     """
     n, m, ds = xs.shape
     xs_m = jnp.moveaxis(xs, 1, 0)  # (m, n, ds)
