@@ -16,7 +16,7 @@ Top-level surface::
     )
 """
 
-from . import data, errors, io, kmeans, linalg, native, search
+from . import conformance, data, errors, io, kmeans, linalg, native, search
 from .pq import (
     Pq,
     bucket_eigenvalues,
@@ -34,6 +34,7 @@ __all__ = [
     "train_opq",
     "train_gaussian_opq",
     "bucket_eigenvalues",
+    "conformance",
     "create_projection_matrix",
     "data",
     "errors",

@@ -33,7 +33,7 @@ from ..errors import check_quantizer_invariants
 from ..kmeans import NIterations, RandomInstanceCentroids, kmeans_with_centroids
 from .model import Pq
 
-__all__ = ["train_pq", "train_pq_subspace"]
+__all__ = ["train_pq", "train_pq_subspace", "train_pq_subspace_with_centroids"]
 
 
 def _subquantizer_initial_centroids(key: Array, xs: Array, k: int) -> Array:
@@ -71,15 +71,44 @@ def _train_codebooks(
     codebooks, losses = jax.vmap(jax.vmap(one, in_axes=(0, 0)), in_axes=(0, None))(
         keys, xs_m
     )
-    # Keep the minimum-loss attempt per subquantizer; argmin ties break to
-    # the first attempt, matching the reference's min_by_key scan
-    # (src/pq/pq.rs:183-187).
+    return _best_of_attempts(codebooks, losses)
+
+
+def _best_of_attempts(codebooks: Array, losses: Array) -> tuple[Array, Array]:
+    """Keep the minimum-loss attempt per subquantizer; argmin ties break to
+    the first attempt, matching the reference's min_by_key scan
+    (src/pq/pq.rs:183-187).  ``codebooks`` is ``(a, m, k, ds)``, ``losses``
+    ``(a, m)``."""
     best = jnp.argmin(losses, axis=0)  # (m,)
     best_codebooks = jnp.take_along_axis(
         codebooks, best[None, :, None, None], axis=0
     )[0]
     best_losses = jnp.take_along_axis(losses, best[None, :], axis=0)[0]
     return best_codebooks, best_losses
+
+
+@jax.jit
+def train_pq_subspace_with_centroids(
+    xs: Array, initial: Array, n_iterations
+) -> tuple[Array, Array]:
+    """Train all subquantizers from explicitly supplied initial centroids.
+
+    ``xs`` is ``(n, m, ds)`` instance data; ``initial`` is
+    ``(n_attempts, m, k, ds)`` initial centroids — one full set per
+    (attempt, subquantizer).  Runs the same double-vmapped Lloyd's program
+    as :func:`train_pq` and keeps the best attempt per subquantizer.  This
+    is the entry the conformance mode uses after replicating the
+    reference's centroid draws on the host
+    (``reductive_tpu.conformance``)."""
+    xs_m = jnp.moveaxis(xs, 1, 0)  # (m, n, ds)
+
+    def one(centroids, x_sq):
+        return kmeans_with_centroids(x_sq, centroids, NIterations(n_iterations))
+
+    codebooks, losses = jax.vmap(jax.vmap(one, in_axes=(0, 0)), in_axes=(0, None))(
+        initial, xs_m
+    )
+    return _best_of_attempts(codebooks, losses)
 
 
 def train_pq(
