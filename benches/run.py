@@ -206,6 +206,31 @@ def bench_config5(quick):
            extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
 
 
+def bench_config6(quick):
+    """Large-corpus Lloyd's iteration via the fused assign+stats kernel:
+    1M x 128, m=16, k=256 — a shape whose (m, n, k) distance tensor (16 GB)
+    cannot be materialized on one chip."""
+    from reductive_tpu.pq.train import lloyd_iteration_chunked
+
+    key = jax.random.PRNGKey(7)
+    n = 100_000 if quick else 1_000_000
+    m, k, ds = 16, 256, 8
+    x = jax.random.normal(key, (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(jax.random.PRNGKey(8), (m, k, ds), dtype=jnp.float32)
+    sumsq = jnp.sum(x.reshape(n, m, ds) ** 2, axis=(0, 2))
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    for cd, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        fn = lambda: lloyd_iteration_chunked(
+            x, cb, sumsq, use_kernel=on_tpu, compute_dtype=cd
+        )
+        dt = timeit(lambda: fn(), iters=3 if quick else 8)
+        record(f"config6_lloyd_iteration_1Mx128_{name}", dt,
+               extra={"vectors_per_sec": round(n / dt, 1)})
+        if not on_tpu:
+            break  # CPU fallback path has no dtype split worth timing
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CPU/CI)")
@@ -222,6 +247,7 @@ def main():
         "config3": bench_config3,
         "config4": bench_config4,
         "config5": bench_config5,
+        "config6": bench_config6,
     }
     selected = args.only.split(",") if args.only else list(groups)
     for name in selected:

@@ -23,12 +23,13 @@ from .opq import (
     train_gaussian_opq,
     train_opq,
 )
-from .train import train_pq
+from .train import train_pq, train_pq_chunked
 
 __all__ = [
     "Pq",
     "primitives",
     "train_pq",
+    "train_pq_chunked",
     "train_opq",
     "train_gaussian_opq",
     "bucket_eigenvalues",

@@ -33,7 +33,13 @@ from ..errors import check_quantizer_invariants
 from ..kmeans import NIterations, RandomInstanceCentroids, kmeans_with_centroids
 from .model import Pq
 
-__all__ = ["train_pq", "train_pq_subspace", "train_pq_subspace_with_centroids"]
+__all__ = [
+    "train_pq",
+    "train_pq_chunked",
+    "train_pq_subspace",
+    "train_pq_subspace_with_centroids",
+    "lloyd_iteration_chunked",
+]
 
 
 def _subquantizer_initial_centroids(key: Array, xs: Array, k: int) -> Array:
@@ -157,3 +163,217 @@ def train_pq_subspace(
     subquantizer losses for pre-reshaped ``(n, m, ds)`` data.  Used by the
     OPQ trainers, which manage projection and validation themselves."""
     return _train_codebooks(key, xs, k, n_iterations, n_attempts)
+
+
+# ---------------------------------------------------------------------------
+# Chunked (large-n) training
+# ---------------------------------------------------------------------------
+#
+# The in-memory Lloyd's step materializes the (m, n, k) distance tensor —
+# 16 GB at the flagship shape with n = 1M, beyond one chip's HBM.  The
+# chunked step streams over n instead: per chunk, a fused assign (the
+# Pallas encode kernel keeps distances in VMEM) plus matmul-accumulated
+# sufficient statistics (per-centroid sums S and counts c).  The
+# reference's loss — MSE between instances and their *updated* centroids
+# under the old assignments (src/kmeans.rs:319-327) — never needs a second
+# pass over the data: with c'_j = S_j / n_j,
+#
+#     sse = sum_i ||x_i - c'_{a_i}||^2
+#         = sum_i ||x_i||^2 - 2 sum_j c'_j . S_j + sum_j n_j ||c'_j||^2
+#         = sumsq - sum_{j nonempty} ||S_j||^2 / n_j
+#
+# so one pass yields assignment, update, and loss.  Empty clusters become
+# the zero vector and contribute zero sse, exactly the reference's
+# semantics (src/kmeans.rs:181,194-196).
+
+
+def _chunk_stats(
+    codebooks: Array, xc: Array, use_kernel: bool, compute_dtype
+) -> tuple[Array, Array]:
+    """Per-centroid instance sums ``(m, k, ds)`` and counts ``(m, k)`` for
+    one ``(c, d)`` chunk of instances.
+
+    A constant-1 column is appended to each subvector so one matmul yields
+    sums *and* counts; with bfloat16 inputs the counts stay exact (one-hot
+    and 1.0 are exact in bf16, accumulation is f32, and integer counts are
+    far below 2^24).
+    """
+    from .. import ops
+
+    m, k, ds = codebooks.shape
+    if use_kernel:
+        codes = ops.pq_encode(
+            codebooks, xc, dtype=jnp.int32, compute_dtype=compute_dtype
+        )
+    else:
+        from . import primitives
+
+        codes = primitives.quantize_batch(codebooks, xc, dtype=jnp.int32)
+    exact = compute_dtype == jnp.float32
+    stats_dtype = xc.dtype if exact else compute_dtype
+    onehot = jax.nn.one_hot(codes.T, k, dtype=stats_dtype)  # (m, c, k)
+    xs_m = jnp.moveaxis(xc.reshape(-1, m, ds), 1, 0)  # (m, c, ds)
+    xs_aug = jnp.concatenate(
+        [xs_m, jnp.ones((m, xs_m.shape[1], 1), xs_m.dtype)], axis=2
+    ).astype(stats_dtype)  # (m, c, ds+1)
+    stats = jnp.einsum(
+        "mck,mcs->mks",
+        onehot,
+        xs_aug,
+        precision="highest" if exact else None,
+        preferred_element_type=jnp.float32,
+    )
+    return stats[..., :ds].astype(xc.dtype), stats[..., ds].astype(xc.dtype)
+
+
+@partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
+def lloyd_iteration_chunked(
+    x: Array,
+    codebooks: Array,
+    sumsq: Array,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+) -> tuple[Array, Array]:
+    """One Lloyd's step over all ``m`` subquantizers, streaming ``x`` in
+    ``chunk``-row slices so peak memory is O(chunk * (d + m*k)) instead of
+    O(n * m * k).
+
+    ``sumsq`` is the per-subquantizer ``sum ||x||^2`` vector ``(m,)``
+    (constant across iterations — compute once with
+    ``jnp.sum(x.reshape(n, m, ds)**2, axis=(0, 2))``).  Returns the updated
+    ``(m, k, ds)`` codebooks and per-subquantizer losses ``(m,)``
+    normalized by ``n * ds`` (the reference's element-count convention,
+    src/kmeans.rs:359).
+
+    ``use_kernel`` selects the fused Pallas assign (TPU) vs the einsum
+    path (CPU tests).  ``compute_dtype`` trades exactness for speed:
+    ``float32`` (default) reproduces the in-memory iteration to float
+    tolerance; ``bfloat16`` is the MXU throughput mode (~6x faster) —
+    assignment cross terms and instance sums use bf16 inputs with f32
+    accumulation (counts stay exact; centroid relative error ~1e-4,
+    immaterial for Lloyd's convergence).  The kernel's packed-key argmin
+    coarsens distances by the low ``log2(k)`` mantissa bits, so near-exact
+    ties may resolve differently from the einsum path — measure-zero for
+    continuous data.
+    """
+    n, d = x.shape
+    m, k, ds = codebooks.shape
+
+    if use_kernel:
+        # The fused kernel streams over n internally (grid over row
+        # blocks, VMEM-resident accumulators) — no host-level chunking.
+        from .. import ops
+
+        sums, counts = ops.pq_assign_stats(
+            codebooks, x, compute_dtype=compute_dtype
+        )
+    else:
+        def body(carry, xc):
+            s, c = carry
+            s2, c2 = _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
+            return (s + s2, c + c2), None
+
+        init = (
+            jnp.zeros((m, k, ds), x.dtype),
+            jnp.zeros((m, k), x.dtype),
+        )
+        n_main = (n // chunk) * chunk
+        sums, counts = init
+        if n_main:
+            (sums, counts), _ = jax.lax.scan(
+                body, init, x[:n_main].reshape(-1, chunk, d)
+            )
+        if n_main < n:
+            s2, c2 = _chunk_stats(codebooks, x[n_main:], use_kernel, compute_dtype)
+            sums, counts = sums + s2, counts + c2
+
+    safe = jnp.maximum(counts, 1.0)
+    new_codebooks = jnp.where(
+        (counts > 0)[..., None], sums / safe[..., None], 0.0
+    ).astype(x.dtype)
+    # sse_j = sumsq_j - sum_k ||S_jk||^2 / n_jk over nonempty centroids.
+    s_norms = jnp.sum(sums * sums, axis=2)  # (m, k)
+    explained = jnp.sum(jnp.where(counts > 0, s_norms / safe, 0.0), axis=1)
+    losses = (sumsq - explained) / jnp.asarray(n * ds, x.dtype)
+    return new_codebooks, losses
+
+
+def train_pq_chunked(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+) -> Pq:
+    """Large-corpus PQ training: same semantics as :func:`train_pq`, but
+    every Lloyd's iteration streams the instances chunk-by-chunk with the
+    fused assign kernel, so training scales to any ``n`` that fits in HBM
+    as raw data (and composes with the sharded data-parallel path for
+    corpora beyond one chip).
+
+    Attempts run as an outer loop over the same compiled step (initial
+    centroids differ, shapes do not), keeping the per-subquantizer
+    minimum-loss attempt like the reference (``src/pq/pq.rs:168-188``).
+    """
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
+    )
+    m = n_subquantizers
+    k = 2 ** n_subquantizer_bits
+    ds = d // m
+    logger.info(
+        "Training %d PQ subquantizers chunked (k=%d, %d iterations, "
+        "%d attempts, chunk=%d)",
+        m, k, n_iterations, n_attempts, chunk,
+    )
+
+    sumsq = jnp.sum(
+        jnp.asarray(instances).reshape(n, m, ds).astype(jnp.float32) ** 2,
+        axis=(0, 2),
+    ).astype(instances.dtype)
+
+    @partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
+    def run_attempt(key, x, sumsq, n_iterations, *, chunk, use_kernel, compute_dtype):
+        keys = jax.random.split(key, m)
+        xs = x.reshape(n, m, ds)
+
+        def init_one(key, j):
+            idx = jax.random.choice(key, n, shape=(k,), replace=False)
+            return jnp.take(xs[:, j, :], idx, axis=0)
+
+        codebooks = jax.vmap(init_one)(keys, jnp.arange(m))
+
+        def body(_, carry):
+            cb, _ = carry
+            return lloyd_iteration_chunked(
+                x, cb, sumsq, chunk=chunk, use_kernel=use_kernel,
+                compute_dtype=compute_dtype,
+            )
+
+        init_loss = jnp.full((m,), jnp.inf, dtype=x.dtype)
+        return jax.lax.fori_loop(
+            0, n_iterations, body, (codebooks, init_loss)
+        )
+
+    best_cb, best_loss = None, None
+    for attempt in range(n_attempts):
+        akey = jax.random.fold_in(key, attempt)
+        cb, loss = run_attempt(
+            akey, instances, sumsq, n_iterations, chunk=chunk,
+            use_kernel=use_kernel, compute_dtype=compute_dtype,
+        )
+        if best_cb is None:
+            best_cb, best_loss = cb, loss
+        else:
+            better = loss < best_loss  # strict: ties keep earlier attempt
+            best_cb = jnp.where(better[:, None, None], cb, best_cb)
+            best_loss = jnp.minimum(best_loss, loss)
+    return Pq(codebooks=best_cb, projection=None)

@@ -1,0 +1,121 @@
+"""Tests for the chunked / fused-statistics training path.
+
+The in-memory Lloyd's iteration (``kmeans.kmeans_iteration`` vmapped over
+the subquantizer axis) is the correctness oracle; the chunked einsum path
+must reproduce it to float tolerance, and the fused Pallas stats kernel
+(interpreter mode on CPU) must agree exactly with the encode kernel's
+assignments and to float tolerance on the sums.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import train_pq
+from reductive_tpu.kmeans import kmeans_iteration
+from reductive_tpu.ops import pq_encode
+from reductive_tpu.ops.stats import pq_assign_stats
+from reductive_tpu.pq import primitives
+from reductive_tpu.pq.train import lloyd_iteration_chunked, train_pq_chunked
+
+
+@pytest.mark.parametrize("n,m,k,ds", [(1000, 4, 8, 4), (257, 2, 3, 5)])
+def test_stats_kernel_matches_einsum(n, m, k, ds):
+    kx, kc = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+
+    sums, counts = pq_assign_stats(cb, x, interpret=True)
+    codes = primitives.quantize_batch(cb, x, dtype=jnp.int32)
+    onehot = jax.nn.one_hot(codes.T, k, dtype=jnp.float32)
+    xs_m = jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
+    ref_sums = jnp.einsum("mck,mcs->mks", onehot, xs_m, precision="highest")
+    ref_counts = jnp.sum(onehot, axis=1)
+
+    assert float(jnp.sum(counts)) == n * m
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_allclose(
+        np.asarray(sums), np.asarray(ref_sums), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_stats_kernel_consistent_with_encode_kernel():
+    """At shapes where near-ties can flip against the einsum oracle, the
+    stats kernel must still agree *exactly* with the encode kernel — both
+    compute identical packed keys."""
+    n, m, k, ds = 2000, 8, 64, 4
+    kx, kc = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+
+    sums, counts = pq_assign_stats(cb, x, interpret=True)
+    codes = pq_encode(cb, x, dtype=jnp.int32, compute_dtype=jnp.float32, interpret=True)
+    onehot = jax.nn.one_hot(codes.T, k, dtype=jnp.float32)
+    xs_m = jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
+    ref_sums = jnp.einsum("mck,mcs->mks", onehot, xs_m, precision="highest")
+
+    np.testing.assert_array_equal(
+        np.asarray(counts), np.asarray(jnp.sum(onehot, axis=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums), np.asarray(ref_sums), rtol=1e-5, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("chunk", [256, 1000, 4096])
+def test_chunked_iteration_matches_in_memory(chunk):
+    n, m, k, ds = 1000, 4, 8, 4
+    x = jax.random.uniform(jax.random.PRNGKey(0), (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(jax.random.PRNGKey(1), (m, k, ds), dtype=jnp.float32)
+    sumsq = jnp.sum(x.reshape(n, m, ds) ** 2, axis=(0, 2))
+
+    new_cb, loss = lloyd_iteration_chunked(
+        x, cb, sumsq, chunk=chunk, use_kernel=False
+    )
+    xs_m = jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
+    ref_cb, ref_loss = jax.vmap(kmeans_iteration)(xs_m, cb)
+
+    np.testing.assert_allclose(np.asarray(new_cb), np.asarray(ref_cb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref_loss), rtol=1e-4)
+
+
+def test_chunked_iteration_empty_cluster_zero_vector():
+    """Empty clusters become the zero vector, exactly like the in-memory
+    update (reference semantics: src/kmeans.rs:181,194-196)."""
+    x = jnp.ones((16, 4), dtype=jnp.float32)
+    # One centroid at the data, one far away (never assigned).
+    cb = jnp.stack(
+        [jnp.stack([jnp.ones(2), jnp.full(2, 100.0)]),
+         jnp.stack([jnp.ones(2), jnp.full(2, 100.0)])]
+    ).astype(jnp.float32)  # (m=2, k=2, ds=2)
+    sumsq = jnp.sum(x.reshape(16, 2, 2) ** 2, axis=(0, 2))
+    new_cb, loss = lloyd_iteration_chunked(x, cb, sumsq, chunk=8, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(new_cb[:, 1, :]), 0.0)
+    np.testing.assert_array_equal(np.asarray(new_cb[:, 0, :]), 1.0)
+    np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-6)
+
+
+def test_train_pq_chunked_quality_and_attempts():
+    """Chunked training reaches the same quality as the in-memory trainer
+    on the reference's gate scenario, and attempts keep the best."""
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    pq = train_pq_chunked(key, x, 10, 7, 10, 2, chunk=64, use_kernel=False)
+    rec = pq.reconstruct_batch(pq.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.08  # the reference Pq gate
+
+    ref = train_pq(key, x, 10, 7, 10, 2)
+    rec2 = ref.reconstruct_batch(ref.quantize_batch(x))
+    ref_loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec2) ** 2, axis=1))))
+    assert abs(loss - ref_loss) < 0.01
+
+
+def test_train_pq_chunked_validates_hyperparams():
+    from reductive_tpu import errors
+
+    x = jnp.ones((32, 8))
+    with pytest.raises(errors.ReductiveError):
+        train_pq_chunked(jax.random.PRNGKey(0), x, 3, 2, 5, 1, use_kernel=False)
