@@ -18,6 +18,7 @@ from .sharded import (
     encode_sharded,
     sharded_kmeans,
     sharded_pq_train_step,
+    train_pq_chunked_sharded,
     train_pq_sharded,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "sharded_kmeans",
     "sharded_pq_train_step",
     "train_pq_sharded",
+    "train_pq_chunked_sharded",
     "encode_sharded",
 ]

@@ -43,6 +43,7 @@ __all__ = [
     "sharded_kmeans",
     "sharded_pq_train_step",
     "train_pq_sharded",
+    "train_pq_chunked_sharded",
     "encode_sharded",
 ]
 
@@ -155,6 +156,140 @@ def sharded_pq_train_step(
         jax.lax.psum(jnp.asarray(xs.size, xs.dtype), data_axis), model_axis
     )
     return new_codebooks, total_sse / total_elems
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale data-parallel training: fused stats kernel + psum
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _chunked_sharded_step(
+    mesh: Mesh, data_axis: str, chunk: int, use_kernel: bool,
+    compute_dtype, interpret: bool,
+):
+    """Build (and cache) the jitted sharded chunked training loop for a
+    mesh/config.  Each device runs the fused assign+stats kernel on its
+    local instance shard; only the tiny ``(m, k, ds)`` sums and ``(m, k)``
+    counts cross ICI per iteration (psum) — ~2 MB at the flagship shape,
+    which is why data-parallel scaling is essentially free."""
+    from ..pq.train import assign_stats_streamed
+
+    n_shards = 1
+    for ax in ([data_axis] if isinstance(data_axis, str) else data_axis):
+        n_shards *= mesh.shape[ax]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(x_local, codebooks, sumsq, n_iterations):
+        n_local, d = x_local.shape
+        m, k, ds = codebooks.shape
+        n_total = n_local * n_shards
+
+        def body(_, carry):
+            cb, _ = carry
+            sums, counts = assign_stats_streamed(
+                x_local, cb, chunk=chunk, use_kernel=use_kernel,
+                compute_dtype=compute_dtype, interpret=interpret,
+            )
+            sums = jax.lax.psum(sums, data_axis)
+            counts = jax.lax.psum(counts, data_axis)
+            safe = jnp.maximum(counts, 1.0)
+            new_cb = jnp.where(
+                (counts > 0)[..., None], sums / safe[..., None], 0.0
+            ).astype(x_local.dtype)
+            s_norms = jnp.sum(sums * sums, axis=2)
+            explained = jnp.sum(
+                jnp.where(counts > 0, s_norms / safe, 0.0), axis=1
+            )
+            losses = (sumsq - explained) / jnp.asarray(
+                n_total * ds, x_local.dtype
+            )
+            return new_cb, losses
+
+        init = (codebooks, jnp.full((m,), jnp.inf, x_local.dtype))
+        return jax.lax.fori_loop(0, n_iterations, body, init)
+
+    return run
+
+
+def train_pq_chunked_sharded(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Pq:
+    """Corpus-scale data-parallel PQ training: instances sharded along
+    ``n`` over ``data_axis``, each shard swept by the fused assign+stats
+    kernel (:func:`reductive_tpu.ops.pq_assign_stats`), centroid
+    statistics psum-reduced over ICI, the count-guarded divide and loss
+    replicated.  Numerically equivalent to
+    :func:`reductive_tpu.pq.train.train_pq_chunked` on the gathered data
+    (up to f32 summation order of the per-shard partial sums).
+
+    ``n`` must be divisible by the ``data_axis`` size.  Set
+    ``use_kernel=False`` (+ optionally ``interpret=True``) on CPU test
+    meshes.
+    """
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
+    )
+    m = n_subquantizers
+    k = 2 ** n_subquantizer_bits
+    ds = d // m
+    if n % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"n={n} must divide evenly over data axis "
+            f"({mesh.shape[data_axis]} shards)"
+        )
+
+    x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
+    sumsq = jnp.sum(
+        x.reshape(n, m, ds).astype(jnp.float32) ** 2, axis=(0, 2)
+    ).astype(x.dtype)  # GSPMD reduces across shards
+
+    step = _chunked_sharded_step(
+        mesh, data_axis, chunk, use_kernel, compute_dtype, interpret
+    )
+
+    @jax.jit
+    def init_codebooks(key):
+        keys = jax.random.split(key, m)
+        xs = x.reshape(n, m, ds)
+
+        def init_one(key, j):
+            idx = jax.random.choice(key, n, shape=(k,), replace=False)
+            return jnp.take(xs[:, j, :], idx, axis=0)
+
+        return jax.vmap(init_one)(keys, jnp.arange(m))
+
+    best_cb, best_loss = None, None
+    for attempt in range(n_attempts):
+        codebooks = init_codebooks(jax.random.fold_in(key, attempt))
+        cb, loss = step(x, codebooks, sumsq, n_iterations)
+        if best_cb is None:
+            best_cb, best_loss = cb, loss
+        else:
+            better = loss < best_loss
+            best_cb = jnp.where(better[:, None, None], cb, best_cb)
+            best_loss = jnp.minimum(best_loss, loss)
+    return Pq(codebooks=best_cb, projection=None)
 
 
 # ---------------------------------------------------------------------------

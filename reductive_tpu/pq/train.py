@@ -38,6 +38,7 @@ __all__ = [
     "train_pq_chunked",
     "train_pq_subspace",
     "train_pq_subspace_with_centroids",
+    "assign_stats_streamed",
     "lloyd_iteration_chunked",
 ]
 
@@ -226,6 +227,53 @@ def _chunk_stats(
     return stats[..., :ds].astype(xc.dtype), stats[..., ds].astype(xc.dtype)
 
 
+def assign_stats_streamed(
+    x: Array,
+    codebooks: Array,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Per-centroid sums ``(m, k, ds)`` and counts ``(m, k)`` under
+    nearest-centroid assignment, never materializing anything O(n * k).
+
+    With ``use_kernel`` the fused Pallas kernel streams over ``n``
+    internally (grid over row blocks, VMEM-resident accumulators); the
+    fallback is a ``lax.scan`` over ``chunk``-row slices of the einsum
+    path.  Also the per-shard building block of the sharded trainer
+    (``reductive_tpu.parallel``)."""
+    n, d = x.shape
+    m, k, ds = codebooks.shape
+    if use_kernel:
+        from .. import ops
+
+        return ops.pq_assign_stats(
+            codebooks, x, compute_dtype=compute_dtype, interpret=interpret
+        )
+
+    def body(carry, xc):
+        s, c = carry
+        s2, c2 = _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
+        return (s + s2, c + c2), None
+
+    init = (
+        jnp.zeros((m, k, ds), x.dtype),
+        jnp.zeros((m, k), x.dtype),
+    )
+    n_main = (n // chunk) * chunk
+    sums, counts = init
+    if n_main:
+        (sums, counts), _ = jax.lax.scan(
+            body, init, x[:n_main].reshape(-1, chunk, d)
+        )
+    if n_main < n:
+        s2, c2 = _chunk_stats(codebooks, x[n_main:], use_kernel, compute_dtype)
+        sums, counts = sums + s2, counts + c2
+    return sums, counts
+
+
 @partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
 def lloyd_iteration_chunked(
     x: Array,
@@ -260,34 +308,10 @@ def lloyd_iteration_chunked(
     """
     n, d = x.shape
     m, k, ds = codebooks.shape
-
-    if use_kernel:
-        # The fused kernel streams over n internally (grid over row
-        # blocks, VMEM-resident accumulators) — no host-level chunking.
-        from .. import ops
-
-        sums, counts = ops.pq_assign_stats(
-            codebooks, x, compute_dtype=compute_dtype
-        )
-    else:
-        def body(carry, xc):
-            s, c = carry
-            s2, c2 = _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
-            return (s + s2, c + c2), None
-
-        init = (
-            jnp.zeros((m, k, ds), x.dtype),
-            jnp.zeros((m, k), x.dtype),
-        )
-        n_main = (n // chunk) * chunk
-        sums, counts = init
-        if n_main:
-            (sums, counts), _ = jax.lax.scan(
-                body, init, x[:n_main].reshape(-1, chunk, d)
-            )
-        if n_main < n:
-            s2, c2 = _chunk_stats(codebooks, x[n_main:], use_kernel, compute_dtype)
-            sums, counts = sums + s2, counts + c2
+    sums, counts = assign_stats_streamed(
+        x, codebooks, chunk=chunk, use_kernel=use_kernel,
+        compute_dtype=compute_dtype,
+    )
 
     safe = jnp.maximum(counts, 1.0)
     new_codebooks = jnp.where(

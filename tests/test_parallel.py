@@ -117,3 +117,26 @@ def test_encode_sharded_matches_local():
     # agreement and spot-check the distances of any flips.
     agree = float(jnp.mean((got_kernel == expected).astype(jnp.float32)))
     assert agree > 0.99
+
+
+def test_train_pq_chunked_sharded_matches_single_device():
+    """The corpus-scale sharded trainer (fused-stats building block + psum)
+    reproduces the single-device chunked trainer bit-for-bit up to f32
+    partial-sum ordering, and passes the reference quality gate."""
+    from reductive_tpu.parallel import train_pq_chunked_sharded
+    from reductive_tpu.pq.train import train_pq_chunked
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    mesh = make_mesh()
+
+    pq_sh = train_pq_chunked_sharded(
+        key, x, 10, 7, 10, 2, mesh=mesh, chunk=16, use_kernel=False
+    )
+    pq_1d = train_pq_chunked(key, x, 10, 7, 10, 2, chunk=16, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(pq_sh.codebooks), np.asarray(pq_1d.codebooks), atol=1e-5
+    )
+    rec = pq_sh.reconstruct_batch(pq_sh.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.08
