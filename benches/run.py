@@ -230,6 +230,20 @@ def bench_config6(quick):
         if not on_tpu:
             break  # CPU fallback path has no dtype split worth timing
 
+    # Full chunked OPQ alternation (stats + streamed Procrustes) at scale.
+    import functools
+
+    from reductive_tpu.pq.opq import _opq_iteration_chunked
+
+    R = jnp.eye(m * ds, dtype=jnp.float32)
+    step = jax.jit(functools.partial(
+        _opq_iteration_chunked, chunk=32768, use_kernel=on_tpu,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    ))
+    dt = timeit(lambda: step(x, R, cb), iters=2 if quick else 5)
+    record("config6_opq_alternation_1Mx128", dt,
+           extra={"vectors_per_sec": round(n / dt, 1)})
+
 
 def main():
     ap = argparse.ArgumentParser()

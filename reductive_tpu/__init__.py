@@ -22,8 +22,11 @@ from .pq import (
     bucket_eigenvalues,
     create_projection_matrix,
     train_gaussian_opq,
+    train_gaussian_opq_chunked,
     train_opq,
+    train_opq_chunked,
     train_pq,
+    train_pq_chunked,
 )
 
 __version__ = "0.1.0"
@@ -31,8 +34,11 @@ __version__ = "0.1.0"
 __all__ = [
     "Pq",
     "train_pq",
+    "train_pq_chunked",
     "train_opq",
+    "train_opq_chunked",
     "train_gaussian_opq",
+    "train_gaussian_opq_chunked",
     "bucket_eigenvalues",
     "conformance",
     "create_projection_matrix",

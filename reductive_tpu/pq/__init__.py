@@ -21,7 +21,9 @@ from .opq import (
     bucket_eigenvalues,
     create_projection_matrix,
     train_gaussian_opq,
+    train_gaussian_opq_chunked,
     train_opq,
+    train_opq_chunked,
 )
 from .train import train_pq, train_pq_chunked
 
@@ -31,7 +33,9 @@ __all__ = [
     "train_pq",
     "train_pq_chunked",
     "train_opq",
+    "train_opq_chunked",
     "train_gaussian_opq",
+    "train_gaussian_opq_chunked",
     "bucket_eigenvalues",
     "create_projection_matrix",
 ]

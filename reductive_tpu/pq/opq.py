@@ -44,7 +44,9 @@ __all__ = [
     "bucket_eigenvalues",
     "create_projection_matrix",
     "train_opq",
+    "train_opq_chunked",
     "train_gaussian_opq",
+    "train_gaussian_opq_chunked",
 ]
 
 
@@ -194,6 +196,184 @@ def train_opq(
     )
     projection, codebooks = _alternate(instances, projection, codebooks, n_iterations)
     return Pq(codebooks=codebooks, projection=projection)
+
+
+def _opq_iteration_chunked(
+    x: Array, projection: Array, codebooks: Array, *,
+    chunk: int, use_kernel: bool, compute_dtype,
+):
+    """One OPQ alternation at corpus scale, streaming over ``n``.
+
+    Mirrors the reference's ``train_iteration`` (``src/pq/opq.rs:161-189``)
+    without ever materializing the rotated corpus, the ``(m, n, k)``
+    distance tensor, or the reconstruction:
+
+    1. per-centroid sums/counts of the rotated data via the fused
+       assign+stats kernel (chunks rotated on the fly) → codebook update;
+    2. codes under the **updated** codebooks (the reference quantizes
+       after the k-means step) and the Procrustes cross-matrix
+       ``M = X^T X_hat`` accumulated per chunk as
+       ``x_chunk^T @ gather(codebooks, codes)`` — one full-depth MXU
+       matmul per chunk;
+    3. ``R = U V^T`` from ``svd(M)`` (Ge et al., 2013, Eq. 7).
+    """
+    from ..pq.train import assign_stats_streamed
+    from .. import ops
+
+    n, d = x.shape
+    m, k, ds = codebooks.shape
+    exact = compute_dtype == jnp.float32
+    prec = "highest" if exact else None
+
+    def rotate(xc):
+        return jnp.dot(xc, projection, precision="highest")
+
+    # Pass 1: k-means statistics on rotated chunks.
+    def stats_body(carry, xc):
+        s, c = carry
+        rxc = rotate(xc)
+        s2, c2 = assign_stats_streamed(
+            rxc, codebooks, chunk=chunk, use_kernel=use_kernel,
+            compute_dtype=compute_dtype,
+        )
+        return (s + s2, c + c2), None
+
+    n_main = (n // chunk) * chunk
+    init = (jnp.zeros((m, k, ds), x.dtype), jnp.zeros((m, k), x.dtype))
+    sums, counts = init
+    if n_main:
+        (sums, counts), _ = jax.lax.scan(
+            stats_body, init, x[:n_main].reshape(-1, chunk, d)
+        )
+    if n_main < n:
+        (sums, counts), _ = stats_body((sums, counts), x[n_main:])
+    safe = jnp.maximum(counts, 1.0)
+    new_codebooks = jnp.where(
+        (counts > 0)[..., None], sums / safe[..., None], 0.0
+    ).astype(x.dtype)
+
+    # Pass 2: codes under the updated codebooks; accumulate M = X^T X_hat.
+    def cross_body(carry, xc):
+        rxc = rotate(xc)
+        if use_kernel:
+            codes = ops.pq_encode(
+                new_codebooks, rxc, dtype=jnp.int32, compute_dtype=compute_dtype
+            )
+        else:
+            codes = primitives.quantize_batch(new_codebooks, rxc, dtype=jnp.int32)
+        rec = primitives.reconstruct_batch(new_codebooks, codes)
+        return carry + jnp.dot(xc.T, rec, precision=prec), None
+
+    M = jnp.zeros((d, d), jnp.float32)
+    if n_main:
+        M, _ = jax.lax.scan(cross_body, M, x[:n_main].reshape(-1, chunk, d))
+    if n_main < n:
+        M, _ = cross_body(M, x[n_main:])
+    u, _, vt = jnp.linalg.svd(M.astype(x.dtype), full_matrices=False)
+    return (u @ vt), new_codebooks
+
+
+@partial(jax.jit, static_argnames=("k", "ds"))
+def _init_opq_codebooks(x, keys, projection, k: int, ds: int):
+    """Initial centroids for the chunked OPQ: k distinct random instances
+    per subquantizer, rotated on the fly (reference:
+    ``src/pq/opq.rs:71-83,138-159``)."""
+    n = x.shape[0]
+
+    def init_one(key, j):
+        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        rows = jnp.take(x, idx, axis=0)
+        rrows = jnp.dot(rows, projection, precision="highest")
+        return jax.lax.dynamic_slice(rrows, (0, j * ds), (k, ds))
+
+    return jax.vmap(init_one)(keys, jnp.arange(keys.shape[0]))
+
+
+@partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
+def _alternate_chunked(
+    x, projection, codebooks, n_iterations, *, chunk, use_kernel, compute_dtype
+):
+    def body(_, carry):
+        proj, cb = carry
+        return _opq_iteration_chunked(
+            x, proj, cb, chunk=chunk, use_kernel=use_kernel,
+            compute_dtype=compute_dtype,
+        )
+
+    return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
+
+
+def train_opq_chunked(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+) -> Pq:
+    """Corpus-scale OPQ: the same alternating minimization as
+    :func:`train_opq` (reference: ``src/pq/opq.rs:40-100``; ``n_attempts``
+    ignored as in the reference) with every pass over the data streamed —
+    suitable for ``n`` where the rotated corpus or the ``(m, n, k)``
+    distance tensor cannot be materialized."""
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, 1, n, d
+    )
+    k = 2 ** n_subquantizer_bits
+    ds = d // n_subquantizers
+
+    projection = create_projection_matrix(instances, n_subquantizers)
+    keys = jax.random.split(key, n_subquantizers)
+    codebooks = _init_opq_codebooks(instances, keys, projection, k, ds)
+
+    logger.info(
+        "Running %d chunked OPQ iterations (fused-stats subquantizer "
+        "update + streamed Procrustes accumulation per iteration)",
+        n_iterations,
+    )
+    projection, codebooks = _alternate_chunked(
+        instances, projection, codebooks, n_iterations,
+        chunk=chunk, use_kernel=use_kernel, compute_dtype=compute_dtype,
+    )
+    return Pq(codebooks=codebooks, projection=projection)
+
+
+def train_gaussian_opq_chunked(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+) -> Pq:
+    """Corpus-scale GaussianOpq (reference: ``src/pq/gaussian_opq.rs``):
+    closed-form rotation once, then :func:`train_pq_chunked` on
+    on-the-fly-rotated data.  The rotation is materialized per chunk
+    inside the trainer only when needed; for simplicity the rotated
+    corpus is produced once here (it is the same size as the input)."""
+    from .train import train_pq_chunked
+
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
+    )
+    projection = create_projection_matrix(instances, n_subquantizers)
+    rx = jnp.dot(instances, projection, precision="highest")
+    pq = train_pq_chunked(
+        key, rx, n_subquantizers, n_subquantizer_bits, n_iterations,
+        n_attempts, chunk=chunk, use_kernel=use_kernel,
+        compute_dtype=compute_dtype,
+    )
+    return Pq(codebooks=pq.codebooks, projection=projection)
 
 
 def train_gaussian_opq(

@@ -119,3 +119,29 @@ def test_train_pq_chunked_validates_hyperparams():
     x = jnp.ones((32, 8))
     with pytest.raises(errors.ReductiveError):
         train_pq_chunked(jax.random.PRNGKey(0), x, 3, 2, 5, 1, use_kernel=False)
+
+
+def test_train_opq_chunked_quality_gate():
+    """Chunked OPQ passes the reference's Opq gate (<0.1) on the seeded
+    scenario, with an orthonormal learned projection."""
+    from reductive_tpu import train_opq_chunked
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    pq = train_opq_chunked(key, x, 10, 7, 10, chunk=64, use_kernel=False)
+    rec = pq.reconstruct_batch(pq.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.1
+    R = np.asarray(pq.projection)
+    np.testing.assert_allclose(R.T @ R, np.eye(20), atol=1e-4)
+
+
+def test_train_gaussian_opq_chunked_quality_gate():
+    from reductive_tpu import train_gaussian_opq_chunked
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    pq = train_gaussian_opq_chunked(key, x, 10, 7, 10, chunk=64, use_kernel=False)
+    rec = pq.reconstruct_batch(pq.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.12
