@@ -121,6 +121,16 @@ def bench_config2(quick):
     record("config2_encode_1Mx128_m16_k256_kernel", dt,
            extra={"vectors_per_sec": round(n / dt, 1)})
 
+    if jax.devices()[0].platform != "cpu":
+        from reductive_tpu.ops import pq_decode
+
+        codes = fast(cb, x)
+        for splits, name in ((3, "exact"), (1, "fast")):
+            dec = lambda: pq_decode(cb, codes, splits=splits)
+            dt = timeit(lambda: dec(), iters=8)
+            record(f"config2_decode_1Mx128_kernel_{name}", dt,
+                   extra={"vectors_per_sec": round(n / dt, 1)})
+
 
 def bench_config3(quick):
     """GaussianOpq m=20, k=256 on 300-d embeddings (closed-form rotation).

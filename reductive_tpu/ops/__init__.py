@@ -4,9 +4,13 @@
   (the serving hot loop and the k-means assign step).
 * :mod:`~reductive_tpu.ops.stats` — fused assign + per-centroid
   sums/counts kernel (the Lloyd's-iteration hot loop for large corpora).
+* :mod:`~reductive_tpu.ops.decode` — fused decode kernel (codes →
+  reconstructions via block-diagonal one-hot matmul, bit-exact 3-split
+  bf16 mode).
 """
 
 from .assign import assign_nearest, pq_encode
+from .decode import pq_decode
 from .stats import pq_assign_stats
 
-__all__ = ["pq_encode", "assign_nearest", "pq_assign_stats"]
+__all__ = ["pq_encode", "pq_decode", "assign_nearest", "pq_assign_stats"]

@@ -1,0 +1,132 @@
+"""Fused PQ-decode Pallas kernel: codes → reconstructions at MXU rate.
+
+The reference decodes row-at-a-time with scalar gathers
+(``src/pq/primitives.rs:150-173``); the XLA one-hot einsum path
+(:func:`reductive_tpu.pq.primitives.reconstruct_batch`) is ~5x faster than
+a TPU gather but pays a 16x lane-padding tax (per-subquantizer output is
+only ``ds`` lanes wide) plus the 6-pass f32 ``HIGHEST`` matmul.  This
+kernel restates decode as the transpose of the encode kernel's
+block-diagonal trick — ``onehot(codes) @ W`` where ``W`` is the
+``(m*kp, d)`` block-diagonal codebook — so the MXU runs one full-depth,
+full-width matmul per block.
+
+Exactness without 6 passes: the one-hot side is exactly representable in
+bfloat16 (0/1), and each output element receives exactly **one** nonzero
+product (column ``c`` of the block-diagonal ``W`` is nonzero only in its
+own subquantizer's row segment, where the one-hot has a single 1).  So
+splitting ``W = W0 + W1 + W2`` into three bfloat16 components (8 mantissa
+bits each, Dekker-style residuals covering f32's 24) makes
+``sum_s onehot @ W_s`` reproduce the f32 codebook entries **bit-exactly**
+with 3 throughput-mode matmuls instead of 6.  ``splits=1`` is the serving
+fast path: reconstructions rounded to bfloat16 precision (~2^-9
+relative), ~3x faster again.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .assign import _round_up
+
+__all__ = ["pq_decode", "split_codebook_bf16"]
+
+
+def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
+    """Pack ``(m, k, ds)`` codebooks into ``splits`` stacked bfloat16
+    block-diagonal ``(m*kp, d)`` matrices whose f32 sum is exactly the
+    original (for ``splits=3``)."""
+    m, k, ds = codebooks.shape
+    d = m * ds
+    W = jnp.zeros((m * kp, d), dtype=jnp.float32)
+    for j in range(m):
+        W = jax.lax.dynamic_update_slice(
+            W, codebooks[j].astype(jnp.float32), (j * kp, j * ds)
+        )
+    parts = []
+    residual = W
+    for _ in range(splits):
+        # The optimization barrier stops XLA from folding the bf16
+        # round-trip into identity under --xla_allow_excess_precision
+        # (which would zero every residual and silently drop exactness).
+        p = jax.lax.optimization_barrier(residual.astype(jnp.bfloat16))
+        parts.append(p)
+        residual = residual - p.astype(jnp.float32)
+    return jnp.stack(parts)  # (splits, m*kp, d)
+
+
+def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
+    codes = codes_ref[:]  # (bn, m) int32
+    bn = codes.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
+    onehot = jnp.concatenate(
+        [(lane == codes[:, j][:, None]).astype(jnp.bfloat16) for j in range(m)],
+        axis=1,
+    )  # (bn, m*kp)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for s in range(splits):
+        acc += jax.lax.dot_general(
+            onehot,
+            w_ref[s],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("splits", "block_n", "interpret")
+)
+def pq_decode(
+    codebooks: Array,
+    codes: Array,
+    *,
+    splits: int = 3,
+    block_n: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Decode ``(n, m)`` codes to ``(n, d)`` reconstructions with the fused
+    kernel.
+
+    ``splits=3`` (default) is **bit-exact** against the f32 gather path;
+    ``splits=1`` rounds the codebook to bfloat16 for maximum throughput
+    (serving mode).  Counterpart of the reference's ``reconstruct_batch``
+    (``src/pq/primitives.rs:150-173``).
+    """
+    m, k, ds = codebooks.shape
+    d = m * ds
+    n = codes.shape[0]
+    if codes.ndim != 2 or codes.shape[1] != m:
+        raise ValueError(
+            f"Quantization length does not match number of subquantizers: "
+            f"{codes.shape} vs m={m}"
+        )
+    kp = _round_up(k, 8)
+    W = split_codebook_bf16(codebooks, kp, splits)
+
+    if block_n is None:
+        # onehot (bn, m*kp) bf16 is the dominant transient; keep it ~4 MB.
+        block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
+
+    kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, block_n),),
+        in_specs=[
+            pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (splits, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(codes.astype(jnp.int32), W)
+    return out.astype(codebooks.dtype)

@@ -117,9 +117,26 @@ class Pq:
 
     # -- decode (reference: src/pq/pq.rs:305-348)
 
-    def reconstruct_batch(self, codes: Array, *, precision="highest") -> Array:
-        """Decode ``(n, m)`` codes to approximate ``(n, d)`` vectors."""
-        out = primitives.reconstruct_batch(self.codebooks, codes)
+    def reconstruct_batch(
+        self, codes: Array, *, precision="highest", method: str = "auto"
+    ) -> Array:
+        """Decode ``(n, m)`` codes to approximate ``(n, d)`` vectors.
+
+        ``method`` forwards to
+        :func:`reductive_tpu.pq.primitives.reconstruct_batch`
+        (``auto``/``onehot``/``gather`` — all bit-identical), plus two
+        fused-kernel routes: ``"kernel"`` (bit-exact 3-split decode
+        kernel) and ``"kernel-fast"`` (single bf16 pass, ~2x faster,
+        reconstructions rounded to bf16 precision — the serving mode).
+        """
+        if method in ("kernel", "kernel-fast"):
+            from ..ops.decode import pq_decode
+
+            out = pq_decode(
+                self.codebooks, codes, splits=3 if method == "kernel" else 1
+            )
+        else:
+            out = primitives.reconstruct_batch(self.codebooks, codes, method=method)
         if self.projection is not None:
             out = jnp.dot(out, self.projection.T, precision=precision)
         return out
