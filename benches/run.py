@@ -214,6 +214,11 @@ def bench_config5(quick):
     dt = timeit(lambda: fn(), iters=3)
     record("config5_adc_search_16q", dt,
            extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
+    if jax.devices()[0].platform != "cpu":
+        fnk = lambda: search(pq, queries, codes_j, top_k=10, method="kernel")[1]
+        dt = timeit(lambda: fnk(), iters=3)
+        record("config5_adc_search_16q_kernel", dt,
+               extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
 
 
 def bench_config6(quick):

@@ -9,8 +9,9 @@
   bf16 mode).
 """
 
+from .adc import adc_scores_kernel
 from .assign import assign_nearest, pq_encode
 from .decode import pq_decode
 from .stats import pq_assign_stats
 
-__all__ = ["pq_encode", "pq_decode", "assign_nearest", "pq_assign_stats"]
+__all__ = ["pq_encode", "pq_decode", "assign_nearest", "pq_assign_stats", "adc_scores_kernel"]

