@@ -103,9 +103,17 @@ def stream_encode(
     stop = reader.n if stop is None else min(stop, reader.n)
     n = stop - start
     out = np.empty((n, pq.quantized_len), dtype=np.dtype(dtype))
+    if hasattr(reader, "prefetch_batches"):
+        # Native prefetch executor: a producer thread reads + converts
+        # ahead.  copy=True — device_put may stage the host buffer
+        # asynchronously, and the ring slot is recycled on the next step;
+        # the memcpy is cheap next to the conversion it overlaps.
+        batches = reader.prefetch_batches(batch_size, start, stop, copy=True)
+    else:
+        batches = reader.batches(batch_size, start, stop)
     for off, codes in stream_encode_batches(
         pq,
-        reader.batches(batch_size, start, stop),
+        batches,
         batch_size=batch_size,
         dtype=dtype,
         use_kernel=use_kernel,

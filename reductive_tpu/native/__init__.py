@@ -71,6 +71,19 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
         ]
+        lib.prefetch_create.restype = ctypes.c_void_p
+        lib.prefetch_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.prefetch_next.restype = ctypes.c_int32
+        lib.prefetch_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.prefetch_release.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.prefetch_destroy.argtypes = [ctypes.c_void_p]
         lib.pack_u4.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
@@ -161,6 +174,66 @@ class VecsReader:
         stop = self.n if stop is None else min(stop, self.n)
         for off in range(start, stop, batch_size):
             yield off, self.read(off, min(batch_size, stop - off))
+
+    def prefetch_batches(
+        self,
+        batch_size: int,
+        start: int = 0,
+        stop: Optional[int] = None,
+        *,
+        depth: int = 3,
+        copy: bool = True,
+    ):
+        """Like :meth:`batches`, but a **native producer thread** reads and
+        converts up to ``depth`` batches ahead — the executor behind the
+        streaming encode pipeline: disk read, f32 conversion, host→device
+        copy, and device compute all overlap.
+
+        With ``copy=False`` the yielded array is a zero-copy view of a
+        ring buffer, valid only until the next iteration step (the slot is
+        recycled); use it only when the batch is consumed (e.g. copied to
+        device) before advancing.  Falls back to the synchronous
+        :meth:`batches` when the native library is unavailable.
+        """
+        stop = self.n if stop is None else min(stop, self.n)
+        if not copy and depth < 2:
+            raise ValueError(
+                "copy=False needs depth >= 2 (one slot stays pinned at the "
+                "consumer while the producer fills the next)"
+            )
+        if self._handle is None:
+            yield from self.batches(batch_size, start, stop)
+            return
+        p = _lib.prefetch_create(
+            self._handle, start, stop, batch_size, depth, self.n_threads
+        )
+        if not p:
+            raise OSError("prefetch_create failed")
+        try:
+            pending_slot = -1
+            while True:
+                off = ctypes.c_int64()
+                count = ctypes.c_int64()
+                data = ctypes.POINTER(ctypes.c_float)()
+                slot = _lib.prefetch_next(
+                    p, ctypes.byref(off), ctypes.byref(count), ctypes.byref(data)
+                )
+                if pending_slot >= 0:
+                    _lib.prefetch_release(p, pending_slot)
+                    pending_slot = -1
+                if slot < 0:
+                    break
+                view = np.ctypeslib.as_array(
+                    data, shape=(count.value, self.dim)
+                )
+                if copy:
+                    yield off.value, view.copy()
+                    _lib.prefetch_release(p, slot)
+                else:
+                    yield off.value, view
+                    pending_slot = slot  # released on the next step
+        finally:
+            _lib.prefetch_destroy(p)
 
     def close(self) -> None:
         if self._handle is not None:

@@ -16,8 +16,11 @@
 // Code packing converts between byte-per-code and two-4-bit-codes-per-
 // byte layouts for compact code stores (k <= 16).
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -140,6 +143,131 @@ int32_t vecs_read_f32(const VecsFile* f, int64_t start, int64_t count,
   }
   for (auto& t : threads) t.join();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Prefetch executor: a producer thread reads + converts batches ahead of
+// the consumer into a ring of reusable buffers.  The consumer (the Python
+// streaming-encode loop) blocks only when IO cannot keep up with the
+// device; with `depth` buffers in flight, disk read, f32 conversion, the
+// host->device copy, and TPU compute all overlap.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Slot {
+  int32_t index;
+  int64_t offset;
+  int64_t count;
+};
+
+struct Prefetcher {
+  const VecsFile* f = nullptr;
+  int64_t batch = 0;
+  int64_t stop = 0;
+  int64_t next_read = 0;
+  int32_t depth = 0;
+  int32_t n_threads = 1;
+  std::vector<std::vector<float>> buffers;
+  std::deque<int32_t> free_slots;
+  std::deque<Slot> ready;
+  bool done = false;
+  std::mutex mu;
+  std::condition_variable cv_free;
+  std::condition_variable cv_ready;
+  std::thread producer;
+};
+
+void producer_loop(Prefetcher* p) {
+  while (true) {
+    int64_t off;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      if (p->next_read >= p->stop) {
+        p->done = true;
+        p->cv_ready.notify_all();
+        return;
+      }
+      off = p->next_read;
+      p->next_read += p->batch;
+    }
+    int32_t slot;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_free.wait(lk, [&] { return !p->free_slots.empty(); });
+      slot = p->free_slots.front();
+      p->free_slots.pop_front();
+    }
+    int64_t count = p->stop - off < p->batch ? p->stop - off : p->batch;
+    vecs_read_f32(const_cast<VecsFile*>(p->f), off, count,
+                  p->buffers[slot].data(), p->n_threads);
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->ready.push_back({slot, off, count});
+      p->cv_ready.notify_all();
+    }
+  }
+}
+
+}  // namespace
+
+Prefetcher* prefetch_create(const VecsFile* f, int64_t start, int64_t stop,
+                            int64_t batch, int32_t depth, int32_t n_threads) {
+  if (!f || batch <= 0 || depth < 1 || start < 0 || stop > f->n ||
+      start > stop)
+    return nullptr;
+  auto* p = new Prefetcher;
+  p->f = f;
+  p->batch = batch;
+  p->stop = stop;
+  p->next_read = start;
+  p->depth = depth;
+  p->n_threads = n_threads < 1 ? 1 : n_threads;
+  p->buffers.resize(depth);
+  for (int32_t i = 0; i < depth; ++i) {
+    p->buffers[i].resize((size_t)batch * f->dim);
+    p->free_slots.push_back(i);
+  }
+  p->producer = std::thread(producer_loop, p);
+  return p;
+}
+
+// Block until the next batch is ready.  Returns the slot index (>= 0) and
+// fills offset/count/data; returns -1 when the stream is exhausted.  The
+// buffer stays valid until prefetch_release(slot).
+int32_t prefetch_next(Prefetcher* p, int64_t* offset, int64_t* count,
+                      float** data) {
+  if (!p) return -1;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [&] { return !p->ready.empty() || p->done; });
+  if (p->ready.empty()) return -1;
+  Slot s = p->ready.front();
+  p->ready.pop_front();
+  *offset = s.offset;
+  *count = s.count;
+  *data = p->buffers[s.index].data();
+  return s.index;
+}
+
+void prefetch_release(Prefetcher* p, int32_t slot) {
+  if (!p || slot < 0 || slot >= p->depth) return;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->free_slots.push_back(slot);
+  p->cv_free.notify_all();
+}
+
+void prefetch_destroy(Prefetcher* p) {
+  if (!p) return;
+  {
+    // Unblock the producer if it is waiting for a free slot, and stop
+    // further reads.
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->next_read = p->stop;
+    for (int32_t i = 0; i < p->depth; ++i) p->free_slots.push_back(i);
+    p->cv_free.notify_all();
+  }
+  if (p->producer.joinable()) p->producer.join();
+  delete p;
 }
 
 // Pack pairs of 4-bit codes (values < 16): out[i] = codes[2i] | codes[2i+1]<<4.

@@ -119,3 +119,62 @@ def test_stream_encode_batches_order_and_tail():
         pq.quantize_batch(jnp.asarray(np.concatenate([b for _, b in batches])))
     )
     np.testing.assert_array_equal(full, expected)
+
+
+def test_prefetch_batches_content_and_order(tmp_path):
+    """The native prefetch executor yields exactly the same (offset, batch)
+    stream as the synchronous reader, in order, including the tail."""
+    import numpy as np
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((2_500, 16)).astype(np.float32)
+    path = str(tmp_path / "p.fvecs")
+    write_fvecs(path, data)
+    with VecsReader(path) as r:
+        sync = list(r.batches(700))
+        pre = [(o, b.copy()) for o, b in r.prefetch_batches(700, depth=3)]
+        assert [o for o, _ in pre] == [o for o, _ in sync]
+        for (_, a), (_, b) in zip(pre, sync):
+            np.testing.assert_array_equal(a, b)
+        # zero-copy mode: views valid within each step
+        pre2 = [(o, b.copy()) for o, b in r.prefetch_batches(700, depth=2, copy=False)]
+        for (_, a), (_, b) in zip(pre2, sync):
+            np.testing.assert_array_equal(a, b)
+        # early termination must not hang (prefetch_destroy on close)
+        it = r.prefetch_batches(700)
+        next(it)
+        it.close()
+
+
+def test_prefetch_zero_copy_needs_depth_two(tmp_path):
+    import numpy as np
+    import pytest
+    from reductive_tpu.native import VecsReader, write_fvecs, NATIVE_AVAILABLE
+
+    if not NATIVE_AVAILABLE:
+        pytest.skip("native library unavailable")
+    data = np.zeros((10, 4), dtype=np.float32)
+    path = str(tmp_path / "z.fvecs")
+    write_fvecs(path, data)
+    with VecsReader(path) as r:
+        with pytest.raises(ValueError):
+            next(r.prefetch_batches(4, depth=1, copy=False))
+
+
+def test_stream_encode_uses_prefetch(tmp_path):
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from reductive_tpu import Pq
+    from reductive_tpu.data import stream_encode
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((1_111, 32)).astype(np.float32)
+    path = str(tmp_path / "s.fvecs")
+    write_fvecs(path, data)
+    pq = Pq(codebooks=jnp.asarray(rng.standard_normal((4, 8, 8)), dtype=jnp.float32))
+    with VecsReader(path) as r:
+        codes = stream_encode(pq, r, batch_size=256)
+    ref = pq.quantize_batch(jnp.asarray(data))
+    np.testing.assert_array_equal(codes, np.asarray(ref))
