@@ -51,6 +51,7 @@ __all__ = [
     "mean_squared_error",
     "kmeans_iteration",
     "kmeans_with_centroids",
+    "kmeans_with_centroids_chunked",
     "kmeans",
 ]
 
@@ -290,6 +291,48 @@ def kmeans_with_centroids(
         return centroids, loss
 
     raise TypeError(f"Unsupported stop condition: {stop!r}")
+
+
+def kmeans_with_centroids_chunked(
+    x: Array,
+    centroids: Array,
+    n_iterations: int,
+    *,
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """Corpus-scale Lloyd's from given initial centroids: streams ``x``
+    so the ``(n, k)`` distance matrix never materializes (40 GB at
+    n=10M, k=1024).  A single-quantizer view of the PQ machinery — the
+    fused assign+stats kernel with ``m = 1``
+    (:func:`reductive_tpu.ops.pq_assign_stats`).  Same semantics as
+    :func:`kmeans_with_centroids` with :class:`NIterations`; empty
+    clusters become the zero vector; the returned loss is the MSE against
+    the updated centroids normalized by ``n * d``
+    (reference: ``src/kmeans.rs:248-328``)."""
+    from .pq.train import lloyd_iteration_chunked
+
+    if centroids.shape[0] == 0:
+        raise ValueError("Cannot cluster instances with zero centroids.")
+    if centroids.shape[1] != x.shape[1]:
+        raise ValueError(
+            f"Centroid and instance lengths differ: {centroids.shape[1]} != {x.shape[1]}"
+        )
+    sumsq = jnp.sum(
+        x.astype(jnp.float32) ** 2, dtype=jnp.float32
+    ).astype(x.dtype)[None]
+
+    def body(_, carry):
+        c, _ = carry
+        cb, losses = lloyd_iteration_chunked(
+            x, c[None, :, :], sumsq, chunk=chunk, use_kernel=use_kernel,
+            compute_dtype=compute_dtype,
+        )
+        return cb[0], losses[0]
+
+    init = (centroids, jnp.asarray(jnp.inf, x.dtype))
+    return jax.lax.fori_loop(0, n_iterations, body, init)
 
 
 def kmeans(

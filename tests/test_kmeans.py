@@ -176,3 +176,19 @@ def test_random_instance_centroids_distinct():
     centroids = RandomInstanceCentroids()(jax.random.PRNGKey(0), x, 8)
     rows = {tuple(np.asarray(r).tolist()) for r in centroids}
     assert len(rows) == 8  # all distinct instances
+
+
+def test_kmeans_with_centroids_chunked_matches_in_memory():
+    """The corpus-scale single-quantizer Lloyd's (fused-stats machinery
+    with m=1) reproduces the in-memory driver to float tolerance."""
+    from reductive_tpu.kmeans import kmeans_with_centroids_chunked
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (500, 8), dtype=jnp.float32)
+    init = x[:7]
+    ref_c, ref_loss = kmeans_with_centroids(x, init, 5)
+    got_c, got_loss = kmeans_with_centroids_chunked(
+        x, init, 5, chunk=128, use_kernel=False
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=1e-5)
+    assert abs(float(got_loss) - float(ref_loss)) < 1e-5
