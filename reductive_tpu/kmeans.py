@@ -319,9 +319,9 @@ def kmeans_with_centroids_chunked(
         raise ValueError(
             f"Centroid and instance lengths differ: {centroids.shape[1]} != {x.shape[1]}"
         )
-    sumsq = jnp.sum(
-        x.astype(jnp.float32) ** 2, dtype=jnp.float32
-    ).astype(x.dtype)[None]
+    if isinstance(n_iterations, int) and n_iterations <= 0:
+        raise ValueError("The number of iterations must be >= 1")
+    sumsq = jnp.sum(x.astype(jnp.float32) ** 2, dtype=jnp.float32)[None]
 
     def body(_, carry):
         c, _ = carry
@@ -331,7 +331,7 @@ def kmeans_with_centroids_chunked(
         )
         return cb[0], losses[0]
 
-    init = (centroids, jnp.asarray(jnp.inf, x.dtype))
+    init = (centroids, jnp.asarray(jnp.inf, jnp.float32))
     return jax.lax.fori_loop(0, n_iterations, body, init)
 
 

@@ -86,6 +86,24 @@ def adc_scores_kernel(
 
     if block_n is None:
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
+    # VMEM feasibility: resident tables + per-block multi-hot/out/codes.
+    budget = 13 * (1 << 20)
+    while block_n > 128:
+        need = (
+            splits * m * kp * max(nq, 128) * 2      # resident table splits
+            + block_n * m * kp * 2                  # multi-hot transient
+            + block_n * max(nq, 128) * 4            # output block
+            + block_n * m * 4                       # codes block
+        )
+        if need <= budget:
+            break
+        block_n //= 2
+    if splits * m * kp * max(nq, 128) * 2 + 128 * (m * kp * 2 + max(nq, 128) * 4) > budget:
+        raise ValueError(
+            f"no VMEM-feasible tiling for nq={nq}, m={m}, k~{kp}, "
+            f"splits={splits}; batch the queries (e.g. <=256 per call) or "
+            "use the einsum scorer (reductive_tpu.search.adc_scores)"
+        )
 
     kernel = functools.partial(_adc_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

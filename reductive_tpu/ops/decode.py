@@ -119,6 +119,24 @@ def pq_decode(
     if block_n is None:
         # onehot (bn, m*kp) bf16 is the dominant transient; keep it ~4 MB.
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
+    # VMEM feasibility: resident weight splits + per-block transients.
+    budget = 13 * (1 << 20)
+    while block_n > 128:
+        need = (
+            splits * m * kp * d * 2                 # resident W splits
+            + block_n * m * kp * 2                  # onehot transient
+            + block_n * d * 4 * 2                   # accumulator + out
+            + block_n * m * 4                       # codes block
+        )
+        if need <= budget:
+            break
+        block_n //= 2
+    if splits * m * kp * d * 2 + 128 * (m * kp * 2 + d * 8) > budget:
+        raise ValueError(
+            f"no VMEM-feasible tiling for m={m}, k~{kp}, d={d}, "
+            f"splits={splits}; use the gather/onehot path "
+            "(reductive_tpu.pq.primitives.reconstruct_batch)"
+        )
 
     kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

@@ -186,10 +186,12 @@ def pq_assign_stats(
     )(x, Wt, c_sqn)
 
     # Extract the block-diagonal slices: sums[j] = sums_full[j*kp:j*kp+k,
-    # j*ds:(j+1)*ds], counts[j] = counts_full[j*kp:j*kp+k].
+    # j*ds:(j+1)*ds], counts[j] = counts_full[j*kp:j*kp+k].  Statistics
+    # stay f32 regardless of the corpus dtype (exact counts, accumulated
+    # sums).
     sums3 = sums_full.reshape(m, kp, d)
     counts = counts_full.reshape(m, kp)[:, :k]
     blocks = jnp.stack(
         [jax.lax.dynamic_slice(sums3[j], (0, j * ds), (kp, ds)) for j in range(m)]
     )  # (m, kp, ds)
-    return blocks[:, :k, :].astype(x.dtype), counts.astype(x.dtype)
+    return blocks[:, :k, :], counts

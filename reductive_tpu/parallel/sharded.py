@@ -163,6 +163,23 @@ def sharded_pq_train_step(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("m", "k"))
+def _init_sharded_codebooks(x, key, *, m: int, k: int):
+    """k distinct random instances per subquantizer from the (sharded)
+    global instance matrix; XLA gathers across shards.  Module-level jit —
+    the compile cache survives across training calls."""
+    n, d = x.shape
+    ds = d // m
+    keys = jax.random.split(key, m)
+
+    def init_one(key, j):
+        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        rows = jnp.take(x, idx, axis=0)
+        return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
+
+    return jax.vmap(init_one)(keys, jnp.arange(m))
+
+
 @functools.lru_cache(maxsize=None)
 def _chunked_sharded_step(
     mesh: Mesh, data_axis: str, chunk: int, use_kernel: bool,
@@ -173,7 +190,11 @@ def _chunked_sharded_step(
     local instance shard; only the tiny ``(m, k, ds)`` sums and ``(m, k)``
     counts cross ICI per iteration (psum) — ~2 MB at the flagship shape,
     which is why data-parallel scaling is essentially free."""
-    from ..pq.train import assign_stats_streamed
+    from ..pq.train import (
+        assign_stats_streamed,
+        centroids_from_stats,
+        losses_from_stats,
+    )
 
     n_shards = 1
     for ax in ([data_axis] if isinstance(data_axis, str) else data_axis):
@@ -200,20 +221,11 @@ def _chunked_sharded_step(
             )
             sums = jax.lax.psum(sums, data_axis)
             counts = jax.lax.psum(counts, data_axis)
-            safe = jnp.maximum(counts, 1.0)
-            new_cb = jnp.where(
-                (counts > 0)[..., None], sums / safe[..., None], 0.0
-            ).astype(x_local.dtype)
-            s_norms = jnp.sum(sums * sums, axis=2)
-            explained = jnp.sum(
-                jnp.where(counts > 0, s_norms / safe, 0.0), axis=1
-            )
-            losses = (sumsq - explained) / jnp.asarray(
-                n_total * ds, x_local.dtype
-            )
+            new_cb = centroids_from_stats(sums, counts, x_local.dtype)
+            losses = losses_from_stats(sums, counts, sumsq, n_total * ds)
             return new_cb, losses
 
-        init = (codebooks, jnp.full((m,), jnp.inf, x_local.dtype))
+        init = (codebooks, jnp.full((m,), jnp.inf, jnp.float32))
         return jax.lax.fori_loop(0, n_iterations, body, init)
 
     return run
@@ -262,26 +274,17 @@ def train_pq_chunked_sharded(
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
     sumsq = jnp.sum(
         x.reshape(n, m, ds).astype(jnp.float32) ** 2, axis=(0, 2)
-    ).astype(x.dtype)  # GSPMD reduces across shards
+    )  # f32; GSPMD reduces across shards
 
     step = _chunked_sharded_step(
         mesh, data_axis, chunk, use_kernel, compute_dtype, interpret
     )
 
-    @jax.jit
-    def init_codebooks(key):
-        keys = jax.random.split(key, m)
-        xs = x.reshape(n, m, ds)
-
-        def init_one(key, j):
-            idx = jax.random.choice(key, n, shape=(k,), replace=False)
-            return jnp.take(xs[:, j, :], idx, axis=0)
-
-        return jax.vmap(init_one)(keys, jnp.arange(m))
-
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
-        codebooks = init_codebooks(jax.random.fold_in(key, attempt))
+        codebooks = _init_sharded_codebooks(
+            x, jax.random.fold_in(key, attempt), m=m, k=k
+        )
         cb, loss = step(x, codebooks, sumsq, n_iterations)
         if best_cb is None:
             best_cb, best_loss = cb, loss

@@ -239,7 +239,7 @@ def _opq_iteration_chunked(
         return (s + s2, c + c2), None
 
     n_main = (n // chunk) * chunk
-    init = (jnp.zeros((m, k, ds), x.dtype), jnp.zeros((m, k), x.dtype))
+    init = (jnp.zeros((m, k, ds), jnp.float32), jnp.zeros((m, k), jnp.float32))
     sums, counts = init
     if n_main:
         (sums, counts), _ = jax.lax.scan(
@@ -247,10 +247,9 @@ def _opq_iteration_chunked(
         )
     if n_main < n:
         (sums, counts), _ = stats_body((sums, counts), x[n_main:])
-    safe = jnp.maximum(counts, 1.0)
-    new_codebooks = jnp.where(
-        (counts > 0)[..., None], sums / safe[..., None], 0.0
-    ).astype(x.dtype)
+    from .train import centroids_from_stats
+
+    new_codebooks = centroids_from_stats(sums, counts, x.dtype)
 
     # Pass 2: codes under the updated codebooks; accumulate M = X^T X_hat.
     def cross_body(carry, xc):
@@ -259,9 +258,12 @@ def _opq_iteration_chunked(
             codes = ops.pq_encode(
                 new_codebooks, rxc, dtype=jnp.int32, compute_dtype=compute_dtype
             )
+            # Fused bit-exact decode — the one-hot einsum would
+            # materialize a (chunk, m, k) transient per scan step.
+            rec = ops.pq_decode(new_codebooks, codes, splits=3)
         else:
             codes = primitives.quantize_batch(new_codebooks, rxc, dtype=jnp.int32)
-        rec = primitives.reconstruct_batch(new_codebooks, codes)
+            rec = primitives.reconstruct_batch(new_codebooks, codes, method="gather")
         return carry + jnp.dot(xc.T, rec, precision=prec), None
 
     M = jnp.zeros((d, d), jnp.float32)
@@ -356,10 +358,9 @@ def train_gaussian_opq_chunked(
     compute_dtype=jnp.float32,
 ) -> Pq:
     """Corpus-scale GaussianOpq (reference: ``src/pq/gaussian_opq.rs``):
-    closed-form rotation once, then :func:`train_pq_chunked` on
-    on-the-fly-rotated data.  The rotation is materialized per chunk
-    inside the trainer only when needed; for simplicity the rotated
-    corpus is produced once here (it is the same size as the input)."""
+    closed-form rotation once, then :func:`train_pq_chunked` with the
+    projection applied chunk-by-chunk on the fly — the rotated corpus is
+    never materialized, so peak memory stays at one copy of the input."""
     from .train import train_pq_chunked
 
     n, d = instances.shape
@@ -367,13 +368,11 @@ def train_gaussian_opq_chunked(
         n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
     )
     projection = create_projection_matrix(instances, n_subquantizers)
-    rx = jnp.dot(instances, projection, precision="highest")
-    pq = train_pq_chunked(
-        key, rx, n_subquantizers, n_subquantizer_bits, n_iterations,
+    return train_pq_chunked(
+        key, instances, n_subquantizers, n_subquantizer_bits, n_iterations,
         n_attempts, chunk=chunk, use_kernel=use_kernel,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, projection=projection,
     )
-    return Pq(codebooks=pq.codebooks, projection=projection)
 
 
 def train_gaussian_opq(

@@ -224,7 +224,30 @@ def _chunk_stats(
         precision="highest" if exact else None,
         preferred_element_type=jnp.float32,
     )
-    return stats[..., :ds].astype(xc.dtype), stats[..., ds].astype(xc.dtype)
+    # Statistics stay f32 regardless of the corpus dtype: a bfloat16
+    # corpus must still get exact counts and f32-accumulated sums.
+    return stats[..., :ds], stats[..., ds]
+
+
+def centroids_from_stats(sums: Array, counts: Array, dtype) -> Array:
+    """Count-guarded centroid update from (sums, counts) statistics; empty
+    clusters become the zero vector (reference semantics:
+    ``src/kmeans.rs:181,194-196``).  Shared by the chunked, sharded, and
+    OPQ trainers so the reference-critical formula lives in one place."""
+    safe = jnp.maximum(counts, 1.0)
+    return jnp.where(
+        (counts > 0)[..., None], sums / safe[..., None], 0.0
+    ).astype(dtype)
+
+
+def losses_from_stats(sums: Array, counts: Array, sumsq: Array, n_elems) -> Array:
+    """Per-subquantizer Lloyd's loss from sufficient statistics:
+    ``sse_j = sumsq_j - sum_k ||S_jk||^2 / n_jk`` over nonempty centroids,
+    normalized by the element count (``src/kmeans.rs:359``).  All f32."""
+    safe = jnp.maximum(counts, 1.0)
+    s_norms = jnp.sum(sums * sums, axis=-1)
+    explained = jnp.sum(jnp.where(counts > 0, s_norms / safe, 0.0), axis=-1)
+    return (sumsq.astype(jnp.float32) - explained) / jnp.float32(n_elems)
 
 
 def assign_stats_streamed(
@@ -235,32 +258,46 @@ def assign_stats_streamed(
     use_kernel: bool = True,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    projection: Optional[Array] = None,
 ) -> tuple[Array, Array]:
-    """Per-centroid sums ``(m, k, ds)`` and counts ``(m, k)`` under
+    """Per-centroid f32 sums ``(m, k, ds)`` and counts ``(m, k)`` under
     nearest-centroid assignment, never materializing anything O(n * k).
 
     With ``use_kernel`` the fused Pallas kernel streams over ``n``
     internally (grid over row blocks, VMEM-resident accumulators); the
     fallback is a ``lax.scan`` over ``chunk``-row slices of the einsum
-    path.  Also the per-shard building block of the sharded trainer
+    path.  With ``projection``, chunks are rotated on the fly before
+    assignment — the rotated corpus is never materialized.  Also the
+    per-shard building block of the sharded trainer
     (``reductive_tpu.parallel``)."""
     n, d = x.shape
     m, k, ds = codebooks.shape
-    if use_kernel:
+    if use_kernel and projection is None:
         from .. import ops
 
         return ops.pq_assign_stats(
             codebooks, x, compute_dtype=compute_dtype, interpret=interpret
         )
 
+    def stats(xc):
+        if projection is not None:
+            xc = jnp.dot(xc, projection, precision="highest")
+        if use_kernel:
+            from .. import ops
+
+            return ops.pq_assign_stats(
+                codebooks, xc, compute_dtype=compute_dtype, interpret=interpret
+            )
+        return _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
+
     def body(carry, xc):
         s, c = carry
-        s2, c2 = _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
+        s2, c2 = stats(xc)
         return (s + s2, c + c2), None
 
     init = (
-        jnp.zeros((m, k, ds), x.dtype),
-        jnp.zeros((m, k), x.dtype),
+        jnp.zeros((m, k, ds), jnp.float32),
+        jnp.zeros((m, k), jnp.float32),
     )
     n_main = (n // chunk) * chunk
     sums, counts = init
@@ -269,7 +306,7 @@ def assign_stats_streamed(
             body, init, x[:n_main].reshape(-1, chunk, d)
         )
     if n_main < n:
-        s2, c2 = _chunk_stats(codebooks, x[n_main:], use_kernel, compute_dtype)
+        s2, c2 = stats(x[n_main:])
         sums, counts = sums + s2, counts + c2
     return sums, counts
 
@@ -283,17 +320,17 @@ def lloyd_iteration_chunked(
     chunk: int = 32768,
     use_kernel: bool = True,
     compute_dtype=jnp.float32,
+    projection: Optional[Array] = None,
 ) -> tuple[Array, Array]:
     """One Lloyd's step over all ``m`` subquantizers, streaming ``x`` in
     ``chunk``-row slices so peak memory is O(chunk * (d + m*k)) instead of
     O(n * m * k).
 
-    ``sumsq`` is the per-subquantizer ``sum ||x||^2`` vector ``(m,)``
-    (constant across iterations — compute once with
-    ``jnp.sum(x.reshape(n, m, ds)**2, axis=(0, 2))``).  Returns the updated
-    ``(m, k, ds)`` codebooks and per-subquantizer losses ``(m,)``
-    normalized by ``n * ds`` (the reference's element-count convention,
-    src/kmeans.rs:359).
+    ``sumsq`` is the per-subquantizer ``sum ||x||^2`` vector ``(m,)`` of
+    the (rotated, if ``projection`` is given) data — constant across
+    iterations.  Returns the updated ``(m, k, ds)`` codebooks and
+    per-subquantizer f32 losses ``(m,)`` normalized by ``n * ds`` (the
+    reference's element-count convention, src/kmeans.rs:359).
 
     ``use_kernel`` selects the fused Pallas assign (TPU) vs the einsum
     path (CPU tests).  ``compute_dtype`` trades exactness for speed:
@@ -310,17 +347,10 @@ def lloyd_iteration_chunked(
     m, k, ds = codebooks.shape
     sums, counts = assign_stats_streamed(
         x, codebooks, chunk=chunk, use_kernel=use_kernel,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, projection=projection,
     )
-
-    safe = jnp.maximum(counts, 1.0)
-    new_codebooks = jnp.where(
-        (counts > 0)[..., None], sums / safe[..., None], 0.0
-    ).astype(x.dtype)
-    # sse_j = sumsq_j - sum_k ||S_jk||^2 / n_jk over nonempty centroids.
-    s_norms = jnp.sum(sums * sums, axis=2)  # (m, k)
-    explained = jnp.sum(jnp.where(counts > 0, s_norms / safe, 0.0), axis=1)
-    losses = (sumsq - explained) / jnp.asarray(n * ds, x.dtype)
+    new_codebooks = centroids_from_stats(sums, counts, codebooks.dtype)
+    losses = losses_from_stats(sums, counts, sumsq, n * ds)
     return new_codebooks, losses
 
 
@@ -335,12 +365,18 @@ def train_pq_chunked(
     chunk: int = 32768,
     use_kernel: bool = True,
     compute_dtype=jnp.float32,
+    projection: Optional[Array] = None,
 ) -> Pq:
     """Large-corpus PQ training: same semantics as :func:`train_pq`, but
     every Lloyd's iteration streams the instances chunk-by-chunk with the
     fused assign kernel, so training scales to any ``n`` that fits in HBM
     as raw data (and composes with the sharded data-parallel path for
     corpora beyond one chip).
+
+    With ``projection`` (an orthonormal ``(d, d)`` rotation), chunks are
+    rotated on the fly — training happens in the rotated space without
+    ever materializing the rotated corpus, and the returned model carries
+    the projection (this is how ``train_gaussian_opq_chunked`` composes).
 
     Attempts run as an outer loop over the same compiled step (initial
     centroids differ, shapes do not), keeping the per-subquantizer
@@ -359,40 +395,15 @@ def train_pq_chunked(
         m, k, n_iterations, n_attempts, chunk,
     )
 
-    sumsq = jnp.sum(
-        jnp.asarray(instances).reshape(n, m, ds).astype(jnp.float32) ** 2,
-        axis=(0, 2),
-    ).astype(instances.dtype)
-
-    @partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
-    def run_attempt(key, x, sumsq, n_iterations, *, chunk, use_kernel, compute_dtype):
-        keys = jax.random.split(key, m)
-        xs = x.reshape(n, m, ds)
-
-        def init_one(key, j):
-            idx = jax.random.choice(key, n, shape=(k,), replace=False)
-            return jnp.take(xs[:, j, :], idx, axis=0)
-
-        codebooks = jax.vmap(init_one)(keys, jnp.arange(m))
-
-        def body(_, carry):
-            cb, _ = carry
-            return lloyd_iteration_chunked(
-                x, cb, sumsq, chunk=chunk, use_kernel=use_kernel,
-                compute_dtype=compute_dtype,
-            )
-
-        init_loss = jnp.full((m,), jnp.inf, dtype=x.dtype)
-        return jax.lax.fori_loop(
-            0, n_iterations, body, (codebooks, init_loss)
-        )
+    sumsq = _streamed_sumsq(instances, m, chunk=chunk, projection=projection)
 
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
         akey = jax.random.fold_in(key, attempt)
-        cb, loss = run_attempt(
-            akey, instances, sumsq, n_iterations, chunk=chunk,
-            use_kernel=use_kernel, compute_dtype=compute_dtype,
+        cb, loss = _run_chunked_attempt(
+            akey, instances, sumsq, n_iterations, projection,
+            m=m, k=k, chunk=chunk, use_kernel=use_kernel,
+            compute_dtype=compute_dtype,
         )
         if best_cb is None:
             best_cb, best_loss = cb, loss
@@ -400,4 +411,69 @@ def train_pq_chunked(
             better = loss < best_loss  # strict: ties keep earlier attempt
             best_cb = jnp.where(better[:, None, None], cb, best_cb)
             best_loss = jnp.minimum(best_loss, loss)
-    return Pq(codebooks=best_cb, projection=None)
+    return Pq(codebooks=best_cb, projection=projection)
+
+
+@partial(jax.jit, static_argnames=("m", "chunk"))
+def _streamed_sumsq(
+    x: Array, m: int, *, chunk: int, projection: Optional[Array] = None
+) -> Array:
+    """Per-subquantizer ``sum ||x||^2`` in f32, streamed in chunks and
+    rotating on the fly when a projection is given (the rotated corpus is
+    never materialized)."""
+    n, d = x.shape
+    ds = d // m
+
+    def sq(xc):
+        if projection is not None:
+            xc = jnp.dot(xc, projection, precision="highest")
+        return jnp.sum(
+            xc.reshape(-1, m, ds).astype(jnp.float32) ** 2, axis=(0, 2)
+        )
+
+    n_main = (n // chunk) * chunk
+    total = jnp.zeros((m,), jnp.float32)
+    if n_main:
+        total, _ = jax.lax.scan(
+            lambda c, xc: (c + sq(xc), None),
+            total,
+            x[:n_main].reshape(-1, chunk, d),
+        )
+    if n_main < n:
+        total = total + sq(x[n_main:])
+    return total
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "k", "chunk", "use_kernel", "compute_dtype"),
+)
+def _run_chunked_attempt(
+    key, x, sumsq, n_iterations, projection, *, m, k, chunk, use_kernel,
+    compute_dtype,
+):
+    """One full chunked training attempt (module-level jit: the compile
+    cache survives across ``train_pq_chunked`` calls; ``n_iterations`` is
+    traced, so one compilation serves every iteration count)."""
+    n, d = x.shape
+    ds = d // m
+    keys = jax.random.split(key, m)
+
+    def init_one(key, j):
+        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        rows = jnp.take(x, idx, axis=0)
+        if projection is not None:
+            rows = jnp.dot(rows, projection, precision="highest")
+        return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
+
+    codebooks = jax.vmap(init_one)(keys, jnp.arange(m))
+
+    def body(_, carry):
+        cb, _ = carry
+        return lloyd_iteration_chunked(
+            x, cb, sumsq, chunk=chunk, use_kernel=use_kernel,
+            compute_dtype=compute_dtype, projection=projection,
+        )
+
+    init_loss = jnp.full((m,), jnp.inf, dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_iterations, body, (codebooks, init_loss))

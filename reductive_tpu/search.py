@@ -154,4 +154,6 @@ def search(
         raise ValueError(
             f"top_k={top_k} exceeds corpus size {codes.shape[0]}"
         )
+    if method not in ("einsum", "kernel"):
+        raise ValueError(f"unknown search method {method!r}")
     return _search_jit(pq, queries, codes, top_k, chunk_size, method, splits)

@@ -145,3 +145,65 @@ def test_train_gaussian_opq_chunked_quality_gate():
     rec = pq.reconstruct_batch(pq.quantize_batch(x))
     loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
     assert loss < 0.12
+
+
+def test_chunked_stats_exact_for_bf16_corpus():
+    """Statistics stay f32 even when the corpus is bfloat16: counts are
+    exact integers and sums are f32-accumulated (regression: stats used to
+    be cast to the corpus dtype, corrupting counts > 256 in bf16)."""
+    from reductive_tpu.pq.train import assign_stats_streamed
+
+    n, m, k, ds = 3000, 2, 2, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, m * ds), jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    cb = jax.random.normal(jax.random.PRNGKey(1), (m, k, ds), jnp.float32)
+
+    sums, counts = assign_stats_streamed(
+        xb, cb.astype(jnp.bfloat16), chunk=500, use_kernel=False,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert sums.dtype == jnp.float32 and counts.dtype == jnp.float32
+    # Counts are exact: integral and summing to n per subquantizer.
+    assert float(jnp.sum(counts)) == n * m
+    np.testing.assert_array_equal(np.asarray(counts), np.round(np.asarray(counts)))
+    # With k=2 clusters of ~1500 members each, bf16-cast counts would have
+    # quantized to multiples of 8 — check at least one count is not.
+    assert counts.max() > 256
+
+
+def test_train_gaussian_opq_chunked_never_materializes_rotation():
+    """The projection flows through train_pq_chunked chunk-by-chunk; the
+    result matches training on an explicitly rotated corpus."""
+    from reductive_tpu import train_gaussian_opq_chunked
+    from reductive_tpu.pq.opq import create_projection_matrix
+    from reductive_tpu.pq.train import train_pq_chunked
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (128, 8), dtype=jnp.float32)
+    pq = train_gaussian_opq_chunked(key, x, 4, 3, 5, chunk=32, use_kernel=False)
+
+    R = create_projection_matrix(x, 4)
+    rx = jnp.dot(x, R, precision="highest")
+    ref = train_pq_chunked(key, rx, 4, 3, 5, chunk=32, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(pq.codebooks), np.asarray(ref.codebooks), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(pq.projection), np.asarray(R))
+
+
+def test_kmeans_chunked_rejects_zero_iterations():
+    from reductive_tpu.kmeans import kmeans_with_centroids_chunked
+
+    x = jnp.ones((10, 4))
+    with pytest.raises(ValueError, match="must be >= 1"):
+        kmeans_with_centroids_chunked(x, x[:2], 0, use_kernel=False)
+
+
+def test_search_rejects_unknown_method():
+    from reductive_tpu import Pq
+    from reductive_tpu.search import search
+
+    pq = Pq(codebooks=jnp.ones((2, 2, 2)))
+    with pytest.raises(ValueError, match="unknown search method"):
+        search(pq, jnp.ones((1, 4)), jnp.zeros((5, 2), jnp.int32), top_k=1,
+               method="kernels")
