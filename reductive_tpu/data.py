@@ -12,6 +12,9 @@ shape so a single compiled program serves the whole stream (no retraces).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
@@ -21,7 +24,7 @@ import jax.numpy as jnp
 
 from .pq.model import Pq
 
-__all__ = ["stream_encode", "stream_encode_batches"]
+__all__ = ["stream_encode", "stream_encode_batches", "stream_encode_resumable"]
 
 
 def _encode_fn(pq: Pq, dtype, use_kernel: bool):
@@ -120,3 +123,108 @@ def stream_encode(
     ):
         out[off - start:off - start + codes.shape[0]] = codes
     return out
+
+
+# ---------------------------------------------------------------------------
+# Resumable encode: failure detection / restart for long-running jobs
+# ---------------------------------------------------------------------------
+#
+# The reference has no failure handling at all (SURVEY.md §5); the aux
+# requirement for production encode jobs is deterministic restart from the
+# codebook artifact.  Codes are written straight into an on-disk memmap;
+# a sidecar JSON tracks the contiguous completed prefix and a fingerprint
+# of the model + corpus, updated atomically (write-tmp + rename) so a kill
+# at any point leaves a consistent resume state.  Encode is deterministic
+# given (model, corpus), so restart continues bit-identically.
+
+
+def _model_fingerprint(pq: Pq, n: int, batch_size: int, dtype) -> str:
+    h = hashlib.sha256()
+    h.update(np.asarray(pq.codebooks).tobytes())
+    if pq.projection is not None:
+        h.update(np.asarray(pq.projection).tobytes())
+    h.update(f"{n}:{batch_size}:{np.dtype(dtype).name}".encode())
+    return h.hexdigest()
+
+
+def stream_encode_resumable(
+    pq: Pq,
+    reader,
+    out_path: str,
+    *,
+    batch_size: int = 1 << 18,
+    dtype=jnp.uint8,
+    use_kernel: Optional[bool] = None,
+    flush_every: int = 4,
+) -> np.memmap:
+    """Encode an on-disk dataset into an on-disk ``(n, m)`` code matrix,
+    resuming after interruption.
+
+    Progress is tracked in ``<out_path>.progress.json`` (atomic replace):
+    if it exists and its fingerprint matches this (model, corpus, config),
+    encoding continues from the recorded contiguous prefix; a finished run
+    removes the sidecar.  Returns the completed read-only memmap.
+    """
+    n = reader.n
+    m = pq.quantized_len
+    np_dtype = np.dtype(dtype)
+    progress_path = out_path + ".progress.json"
+    fingerprint = _model_fingerprint(pq, n, batch_size, np_dtype)
+
+    start = 0
+    if os.path.exists(progress_path) and os.path.exists(out_path):
+        try:
+            with open(progress_path) as f:
+                state = json.load(f)
+            if (
+                state.get("fingerprint") == fingerprint
+                and state.get("n") == n
+                and state.get("m") == m
+            ):
+                start = int(state["completed_rows"])
+        except (ValueError, KeyError, OSError):
+            start = 0  # unreadable sidecar: restart from scratch
+
+    mode = "r+" if (start > 0 and os.path.exists(out_path)) else "w+"
+    out = np.memmap(out_path, dtype=np_dtype, mode=mode, shape=(n, m))
+
+    def write_progress(rows: int) -> None:
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "fingerprint": fingerprint,
+                    "n": n,
+                    "m": m,
+                    "dtype": np_dtype.name,
+                    "completed_rows": rows,
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, progress_path)
+
+    if hasattr(reader, "prefetch_batches"):
+        batches = reader.prefetch_batches(batch_size, start, n, copy=True)
+    else:
+        batches = reader.batches(batch_size, start, n)
+
+    completed = start
+    since_flush = 0
+    for off, codes in stream_encode_batches(
+        pq, batches, batch_size=batch_size, dtype=dtype, use_kernel=use_kernel
+    ):
+        out[off : off + codes.shape[0]] = codes
+        # Batches arrive in order, so the completed prefix is contiguous.
+        completed = off + codes.shape[0]
+        since_flush += 1
+        if since_flush >= flush_every:
+            out.flush()
+            write_progress(completed)
+            since_flush = 0
+
+    out.flush()
+    if os.path.exists(progress_path):
+        os.remove(progress_path)
+    return np.memmap(out_path, dtype=np_dtype, mode="r", shape=(n, m))

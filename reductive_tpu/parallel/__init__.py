@@ -13,6 +13,7 @@ This package supplies what the reference never had: SPMD scale-out over a
   tensor-parallel analog for this domain.
 """
 
+from .launch import initialize_distributed
 from .mesh import make_mesh
 from .sharded import (
     encode_sharded,
@@ -23,6 +24,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "sharded_kmeans",
     "sharded_pq_train_step",

@@ -178,3 +178,54 @@ def test_stream_encode_uses_prefetch(tmp_path):
         codes = stream_encode(pq, r, batch_size=256)
     ref = pq.quantize_batch(jnp.asarray(data))
     np.testing.assert_array_equal(codes, np.asarray(ref))
+
+
+def test_stream_encode_resumable_restart(tmp_path):
+    """Kill-and-restart: an interrupted resumable encode continues from the
+    recorded prefix and produces a bit-identical result to one-shot."""
+    import json
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from reductive_tpu import Pq
+    from reductive_tpu.data import stream_encode_resumable
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((2_000, 16)).astype(np.float32)
+    path = str(tmp_path / "c.fvecs")
+    write_fvecs(path, data)
+    pq = Pq(codebooks=jnp.asarray(rng.standard_normal((4, 8, 4)), dtype=jnp.float32))
+    out_path = str(tmp_path / "codes.bin")
+
+    # Simulate an interrupted run: encode only the first half, leaving a
+    # valid sidecar behind (as a crash after a flush would).
+    with VecsReader(path) as r:
+        full = stream_encode_resumable(pq, r, str(tmp_path / "ref.bin"), batch_size=256)
+        half = stream_encode_resumable(pq, r, out_path, batch_size=256)
+    # Forge the interrupted state: truncate progress to 1024 rows and
+    # corrupt everything after it.
+    sidecar = out_path + ".progress.json"
+    mm = np.memmap(out_path, dtype=np.uint8, mode="r+", shape=(2_000, 4))
+    mm[1024:] = 255
+    mm.flush()
+    with open(sidecar, "w") as f:
+        json.dump({
+            "fingerprint": __import__("reductive_tpu.data", fromlist=["x"])._model_fingerprint(
+                pq, 2_000, 256, np.dtype(np.uint8)),
+            "n": 2_000, "m": 4, "dtype": "uint8", "completed_rows": 1024,
+        }, f)
+
+    with VecsReader(path) as r:
+        resumed = stream_encode_resumable(pq, r, out_path, batch_size=256)
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+    assert not (tmp_path / "codes.bin.progress.json").exists()
+
+    # A fingerprint mismatch (different model) restarts from scratch.
+    pq2 = Pq(codebooks=jnp.asarray(rng.standard_normal((4, 8, 4)), dtype=jnp.float32))
+    with open(sidecar, "w") as f:
+        json.dump({"fingerprint": "stale", "n": 2_000, "m": 4,
+                   "dtype": "uint8", "completed_rows": 1024}, f)
+    with VecsReader(path) as r:
+        fresh = stream_encode_resumable(pq2, r, out_path, batch_size=256)
+    ref2 = pq2.quantize_batch(jnp.asarray(data))
+    np.testing.assert_array_equal(np.asarray(fresh), np.asarray(ref2))
