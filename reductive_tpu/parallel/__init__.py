@@ -19,6 +19,7 @@ from .sharded import (
     encode_sharded,
     sharded_kmeans,
     sharded_pq_train_step,
+    train_opq_chunked_sharded,
     train_pq_chunked_sharded,
     train_pq_sharded,
 )
@@ -30,5 +31,6 @@ __all__ = [
     "sharded_pq_train_step",
     "train_pq_sharded",
     "train_pq_chunked_sharded",
+    "train_opq_chunked_sharded",
     "encode_sharded",
 ]

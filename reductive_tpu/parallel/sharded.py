@@ -44,6 +44,7 @@ __all__ = [
     "sharded_pq_train_step",
     "train_pq_sharded",
     "train_pq_chunked_sharded",
+    "train_opq_chunked_sharded",
     "encode_sharded",
 ]
 
@@ -293,6 +294,85 @@ def train_pq_chunked_sharded(
             best_cb = jnp.where(better[:, None, None], cb, best_cb)
             best_loss = jnp.minimum(best_loss, loss)
     return Pq(codebooks=best_cb, projection=None)
+
+
+@functools.lru_cache(maxsize=None)
+def _opq_sharded_step(
+    mesh: Mesh, data_axis: str, chunk: int, use_kernel: bool,
+    compute_dtype, interpret: bool,
+):
+    """Jitted data-parallel OPQ alternation loop: each device streams its
+    instance shard, the centroid statistics and the Procrustes ``X^T
+    X_hat`` cross-matrix are psum-reduced, and the SVD + updates run
+    replicated."""
+    from ..pq.opq import _opq_iteration_chunked
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(x_local, projection, codebooks, n_iterations):
+        def body(_, carry):
+            proj, cb = carry
+            return _opq_iteration_chunked(
+                x_local, proj, cb, chunk=chunk, use_kernel=use_kernel,
+                compute_dtype=compute_dtype, axis_name=data_axis,
+            )
+
+        return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
+
+    return run
+
+
+def train_opq_chunked_sharded(
+    key: Array,
+    instances: Array,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    chunk: int = 32768,
+    use_kernel: bool = True,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Pq:
+    """Data-parallel corpus-scale OPQ: instances sharded along ``n``; per
+    alternation each shard contributes psum'd centroid statistics (~2 MB)
+    and a psum'd ``(d, d)`` Procrustes cross-matrix.  ``n_attempts`` is
+    ignored exactly as in the reference (``src/pq/opq.rs:35-37,50``)."""
+    from ..pq.opq import _init_opq_codebooks, create_projection_matrix
+
+    n, d = instances.shape
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, 1, n, d
+    )
+    k = 2 ** n_subquantizer_bits
+    ds = d // n_subquantizers
+    if n % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"n={n} must divide evenly over data axis "
+            f"({mesh.shape[data_axis]} shards)"
+        )
+
+    x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
+    # Covariance + eigh are GSPMD over the sharded instances; the greedy
+    # bucketing is host-side on the d eigenvalues (tiny, once).
+    projection = create_projection_matrix(x, n_subquantizers)
+    keys = jax.random.split(key, n_subquantizers)
+    codebooks = _init_opq_codebooks(x, keys, projection, k, ds)
+
+    step = _opq_sharded_step(
+        mesh, data_axis, chunk, use_kernel, compute_dtype, interpret
+    )
+    projection, codebooks = step(x, projection, codebooks, n_iterations)
+    return Pq(codebooks=codebooks, projection=projection)
 
 
 # ---------------------------------------------------------------------------

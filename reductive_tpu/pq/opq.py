@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -201,6 +201,7 @@ def train_opq(
 def _opq_iteration_chunked(
     x: Array, projection: Array, codebooks: Array, *,
     chunk: int, use_kernel: bool, compute_dtype,
+    axis_name: Optional[str] = None,
 ):
     """One OPQ alternation at corpus scale, streaming over ``n``.
 
@@ -216,6 +217,11 @@ def _opq_iteration_chunked(
        ``x_chunk^T @ gather(codebooks, codes)`` — one full-depth MXU
        matmul per chunk;
     3. ``R = U V^T`` from ``svd(M)`` (Ge et al., 2013, Eq. 7).
+
+    With ``axis_name`` (inside ``shard_map``), ``x`` is this device's
+    shard and both the centroid statistics and ``M`` are psum-reduced
+    before the update/SVD — the data-parallel form; everything after the
+    psums is replicated.
     """
     from ..pq.train import assign_stats_streamed
     from .. import ops
@@ -247,6 +253,9 @@ def _opq_iteration_chunked(
         )
     if n_main < n:
         (sums, counts), _ = stats_body((sums, counts), x[n_main:])
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
     from .train import centroids_from_stats
 
     new_codebooks = centroids_from_stats(sums, counts, x.dtype)
@@ -271,6 +280,8 @@ def _opq_iteration_chunked(
         M, _ = jax.lax.scan(cross_body, M, x[:n_main].reshape(-1, chunk, d))
     if n_main < n:
         M, _ = cross_body(M, x[n_main:])
+    if axis_name is not None:
+        M = jax.lax.psum(M, axis_name)
     u, _, vt = jnp.linalg.svd(M.astype(x.dtype), full_matrices=False)
     return (u @ vt), new_codebooks
 

@@ -140,3 +140,30 @@ def test_train_pq_chunked_sharded_matches_single_device():
     rec = pq_sh.reconstruct_batch(pq_sh.quantize_batch(x))
     loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
     assert loss < 0.08
+
+
+def test_train_opq_chunked_sharded_quality():
+    """Data-parallel chunked OPQ (psum'd stats + psum'd Procrustes
+    cross-matrix) passes the reference Opq gate and stays close to the
+    single-device trainer (exact equality is not expected: the SVD
+    amplifies f32 psum-ordering differences across alternations)."""
+    from reductive_tpu import train_opq_chunked
+    from reductive_tpu.parallel import train_opq_chunked_sharded
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    mesh = make_mesh()
+
+    pq_sh = train_opq_chunked_sharded(
+        key, x, 10, 7, 10, mesh=mesh, chunk=16, use_kernel=False
+    )
+    rec = pq_sh.reconstruct_batch(pq_sh.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.1  # the reference Opq gate
+    R = np.asarray(pq_sh.projection)
+    np.testing.assert_allclose(R.T @ R, np.eye(20), atol=1e-4)
+
+    pq_1d = train_opq_chunked(key, x, 10, 7, 10, chunk=16, use_kernel=False)
+    rec1 = pq_1d.reconstruct_batch(pq_1d.quantize_batch(x))
+    loss1 = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec1) ** 2, axis=1))))
+    assert abs(loss - loss1) < 5e-3
