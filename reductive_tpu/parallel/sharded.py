@@ -184,7 +184,7 @@ def _init_sharded_codebooks(x, key, *, m: int, k: int):
 @functools.lru_cache(maxsize=None)
 def _chunked_sharded_step(
     mesh: Mesh, data_axis: str, chunk: int, use_kernel: bool,
-    compute_dtype, interpret: bool,
+    compute_dtype, interpret: bool, has_projection: bool = False,
 ):
     """Build (and cache) the jitted sharded chunked training loop for a
     mesh/config.  Each device runs the fused assign+stats kernel on its
@@ -205,11 +205,11 @@ def _chunked_sharded_step(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(data_axis, None), P(), P(), P()),
+        in_specs=(P(data_axis, None), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(x_local, codebooks, sumsq, n_iterations):
+    def run(x_local, codebooks, sumsq, n_iterations, projection):
         n_local, d = x_local.shape
         m, k, ds = codebooks.shape
         n_total = n_local * n_shards
@@ -219,6 +219,7 @@ def _chunked_sharded_step(
             sums, counts = assign_stats_streamed(
                 x_local, cb, chunk=chunk, use_kernel=use_kernel,
                 compute_dtype=compute_dtype, interpret=interpret,
+                projection=projection if has_projection else None,
             )
             sums = jax.lax.psum(sums, data_axis)
             counts = jax.lax.psum(counts, data_axis)
@@ -246,6 +247,7 @@ def train_pq_chunked_sharded(
     use_kernel: bool = True,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    projection=None,
 ) -> Pq:
     """Corpus-scale data-parallel PQ training: instances sharded along
     ``n`` over ``data_axis``, each shard swept by the fused assign+stats
@@ -254,6 +256,11 @@ def train_pq_chunked_sharded(
     replicated.  Numerically equivalent to
     :func:`reductive_tpu.pq.train.train_pq_chunked` on the gathered data
     (up to f32 summation order of the per-shard partial sums).
+
+    With ``projection`` (orthonormal ``(d, d)``), shards are rotated
+    chunk-by-chunk on the fly and the returned model carries the
+    projection — the sharded GaussianOpq composition
+    (``create_projection_matrix`` + this).
 
     ``n`` must be divisible by the ``data_axis`` size.  Set
     ``use_kernel=False`` (+ optionally ``interpret=True``) on CPU test
@@ -273,27 +280,31 @@ def train_pq_chunked_sharded(
         )
 
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
-    sumsq = jnp.sum(
-        x.reshape(n, m, ds).astype(jnp.float32) ** 2, axis=(0, 2)
-    )  # f32; GSPMD reduces across shards
+    rx = x if projection is None else jnp.dot(x, projection, precision="highest")
+    # sumsq of the (rotated) data; GSPMD reduces across shards.  The
+    # rotated matrix used here is a temporary for sumsq/init only — the
+    # training loop rotates chunks on the fly.
+    sumsq = jnp.sum(rx.reshape(n, m, ds).astype(jnp.float32) ** 2, axis=(0, 2))
 
     step = _chunked_sharded_step(
-        mesh, data_axis, chunk, use_kernel, compute_dtype, interpret
+        mesh, data_axis, chunk, use_kernel, compute_dtype, interpret,
+        projection is not None,
     )
+    proj_arg = projection if projection is not None else jnp.zeros((d, d), x.dtype)
 
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
         codebooks = _init_sharded_codebooks(
-            x, jax.random.fold_in(key, attempt), m=m, k=k
+            rx, jax.random.fold_in(key, attempt), m=m, k=k
         )
-        cb, loss = step(x, codebooks, sumsq, n_iterations)
+        cb, loss = step(x, codebooks, sumsq, n_iterations, proj_arg)
         if best_cb is None:
             best_cb, best_loss = cb, loss
         else:
             better = loss < best_loss
             best_cb = jnp.where(better[:, None, None], cb, best_cb)
             best_loss = jnp.minimum(best_loss, loss)
-    return Pq(codebooks=best_cb, projection=None)
+    return Pq(codebooks=best_cb, projection=projection)
 
 
 @functools.lru_cache(maxsize=None)

@@ -167,3 +167,29 @@ def test_train_opq_chunked_sharded_quality():
     rec1 = pq_1d.reconstruct_batch(pq_1d.quantize_batch(x))
     loss1 = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec1) ** 2, axis=1))))
     assert abs(loss - loss1) < 5e-3
+
+
+def test_sharded_gaussian_opq_composition():
+    """Sharded GaussianOpq = closed-form projection + the sharded PQ
+    trainer with on-the-fly rotation; matches the single-device
+    train_gaussian_opq_chunked to one ulp."""
+    from reductive_tpu import train_gaussian_opq_chunked
+    from reductive_tpu.parallel import train_pq_chunked_sharded
+    from reductive_tpu.pq.opq import create_projection_matrix
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (256, 20), dtype=jnp.float32)
+    mesh = make_mesh()
+
+    R = create_projection_matrix(x, 10)
+    pq_sh = train_pq_chunked_sharded(
+        key, x, 10, 7, 10, 1, mesh=mesh, chunk=16, use_kernel=False,
+        projection=R,
+    )
+    pq_1d = train_gaussian_opq_chunked(key, x, 10, 7, 10, 1, chunk=16, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(pq_sh.codebooks), np.asarray(pq_1d.codebooks), atol=1e-5
+    )
+    rec = pq_sh.reconstruct_batch(pq_sh.quantize_batch(x))
+    loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+    assert loss < 0.12
