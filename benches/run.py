@@ -204,9 +204,15 @@ def bench_config5(quick):
     queries = jax.random.normal(kq, (16, d), dtype=jnp.float32)
     codes_j = jnp.asarray(codes)
     if not quick:
-        # Search over a larger on-device corpus than was streamed.
-        extra_codes = pq.quantize_batch(
-            jax.random.normal(kx, (500_000 - n, d), dtype=jnp.float32)
+        # Search over a larger on-device corpus than was streamed.  The
+        # fused kernel keeps distances in VMEM — the einsum path would
+        # materialize a ~10 GB (n, m, k) tensor at this shape.
+        from reductive_tpu.ops import pq_encode
+
+        extra_codes = pq_encode(
+            pq.codebooks,
+            jax.random.normal(kx, (500_000 - n, d), dtype=jnp.float32),
+            dtype=jnp.uint8,
         )
         codes_j = jnp.concatenate([codes_j, extra_codes])
         n = codes_j.shape[0]
