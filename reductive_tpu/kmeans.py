@@ -61,6 +61,33 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def random_distinct_indices(key: Array, n: int, k: int) -> Array:
+    """``k`` distinct uniform indices in ``[0, n)``, in first-draw order.
+
+    Matches the reference's draw-until-k-distinct semantics
+    (``src/kmeans.rs:73-79``) without the O(n log n) full permutation that
+    ``jax.random.choice(replace=False)`` performs — at n = 8M that
+    permutation dominated training startup.  For ``n > 16k`` an
+    oversampled batch of ``4k`` draws is deduplicated in first-occurrence
+    order (the probability of fewer than ``k`` distinct values is
+    astronomically small at that ratio); small ``n`` keeps the exact
+    permutation path.
+    """
+    if n <= 16 * k:
+        return jax.random.choice(key, n, shape=(k,), replace=False)
+    c = 4 * k
+    cand = jax.random.randint(key, (c,), 0, n)
+    # first_occurrence[i] = no equal value at an earlier position.
+    eq_earlier = (cand[None, :] == cand[:, None]) & (
+        jnp.arange(c)[None, :] < jnp.arange(c)[:, None]
+    )
+    first = ~jnp.any(eq_earlier, axis=1)
+    # Select the first k first-occurrences in draw order.
+    rank = jnp.cumsum(first) - 1  # rank among distinct values
+    slot = jnp.where(first & (rank < k), rank, k)
+    return jnp.zeros((k,), cand.dtype).at[slot].set(cand, mode="drop")
+
+
 @dataclasses.dataclass(frozen=True)
 class RandomInstanceCentroids:
     """Pick ``k`` distinct random instances as the initial centroids.
@@ -299,7 +326,7 @@ def kmeans_with_centroids_chunked(
     n_iterations: int,
     *,
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
 ) -> Tuple[Array, Array]:
     """Corpus-scale Lloyd's from given initial centroids: streams ``x``
@@ -313,6 +340,8 @@ def kmeans_with_centroids_chunked(
     (reference: ``src/kmeans.rs:248-328``)."""
     from .pq.train import lloyd_iteration_chunked
 
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
     if centroids.shape[0] == 0:
         raise ValueError("Cannot cluster instances with zero centroids.")
     if centroids.shape[1] != x.shape[1]:

@@ -27,7 +27,7 @@ Two API styles are provided:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -173,8 +173,10 @@ def _init_sharded_codebooks(x, key, *, m: int, k: int):
     ds = d // m
     keys = jax.random.split(key, m)
 
+    from ..kmeans import random_distinct_indices
+
     def init_one(key, j):
-        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        idx = random_distinct_indices(key, n, k)
         rows = jnp.take(x, idx, axis=0)
         return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
 
@@ -244,7 +246,7 @@ def train_pq_chunked_sharded(
     mesh: Mesh,
     data_axis: str = "data",
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
     interpret: bool = False,
     projection=None,
@@ -279,6 +281,8 @@ def train_pq_chunked_sharded(
             f"({mesh.shape[data_axis]} shards)"
         )
 
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
     rx = x if projection is None else jnp.dot(x, projection, precision="highest")
     # sumsq of the (rotated) data; GSPMD reduces across shards.  The
@@ -350,7 +354,7 @@ def train_opq_chunked_sharded(
     mesh: Mesh,
     data_axis: str = "data",
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
     interpret: bool = False,
 ) -> Pq:
@@ -372,6 +376,8 @@ def train_opq_chunked_sharded(
             f"({mesh.shape[data_axis]} shards)"
         )
 
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
     # Covariance + eigh are GSPMD over the sharded instances; the greedy
     # bucketing is host-side on the d eigenvalues (tiny, once).

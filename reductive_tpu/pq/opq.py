@@ -293,8 +293,10 @@ def _init_opq_codebooks(x, keys, projection, k: int, ds: int):
     ``src/pq/opq.rs:71-83,138-159``)."""
     n = x.shape[0]
 
+    from ..kmeans import random_distinct_indices
+
     def init_one(key, j):
-        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        idx = random_distinct_indices(key, n, k)
         rows = jnp.take(x, idx, axis=0)
         rrows = jnp.dot(rows, projection, precision="highest")
         return jax.lax.dynamic_slice(rrows, (0, j * ds), (k, ds))
@@ -325,14 +327,17 @@ def train_opq_chunked(
     n_attempts: int = 1,
     *,
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
 ) -> Pq:
     """Corpus-scale OPQ: the same alternating minimization as
     :func:`train_opq` (reference: ``src/pq/opq.rs:40-100``; ``n_attempts``
     ignored as in the reference) with every pass over the data streamed —
     suitable for ``n`` where the rotated corpus or the ``(m, n, k)``
-    distance tensor cannot be materialized."""
+    distance tensor cannot be materialized.  ``use_kernel=None`` selects
+    the fused kernels on TPU and the einsum fallback elsewhere."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, 1, n, d
@@ -365,7 +370,7 @@ def train_gaussian_opq_chunked(
     n_attempts: int = 1,
     *,
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
 ) -> Pq:
     """Corpus-scale GaussianOpq (reference: ``src/pq/gaussian_opq.rs``):

@@ -30,7 +30,12 @@ from jax import Array
 logger = logging.getLogger("reductive_tpu")
 
 from ..errors import check_quantizer_invariants
-from ..kmeans import NIterations, RandomInstanceCentroids, kmeans_with_centroids
+from ..kmeans import (
+    NIterations,
+    RandomInstanceCentroids,
+    kmeans_with_centroids,
+    random_distinct_indices,
+)
 from .model import Pq
 
 __all__ = [
@@ -363,7 +368,7 @@ def train_pq_chunked(
     n_attempts: int = 1,
     *,
     chunk: int = 32768,
-    use_kernel: bool = True,
+    use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
     projection: Optional[Array] = None,
 ) -> Pq:
@@ -381,7 +386,12 @@ def train_pq_chunked(
     Attempts run as an outer loop over the same compiled step (initial
     centroids differ, shapes do not), keeping the per-subquantizer
     minimum-loss attempt like the reference (``src/pq/pq.rs:168-188``).
+
+    ``use_kernel=None`` (default) selects the fused Pallas kernel on TPU
+    and the einsum fallback elsewhere.
     """
+    if use_kernel is None:
+        use_kernel = jax.default_backend() != "cpu"
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
@@ -460,7 +470,7 @@ def _run_chunked_attempt(
     keys = jax.random.split(key, m)
 
     def init_one(key, j):
-        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        idx = random_distinct_indices(key, n, k)
         rows = jnp.take(x, idx, axis=0)
         if projection is not None:
             rows = jnp.dot(rows, projection, precision="highest")

@@ -192,3 +192,26 @@ def test_kmeans_with_centroids_chunked_matches_in_memory():
     )
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), atol=1e-5)
     assert abs(float(got_loss) - float(ref_loss)) < 1e-5
+
+
+def test_random_distinct_indices():
+    from reductive_tpu.kmeans import random_distinct_indices
+
+    # Large-n rejection path: distinct, in range, deterministic.
+    key = jax.random.PRNGKey(0)
+    idx = random_distinct_indices(key, 1_000_000, 64)
+    arr = np.asarray(idx)
+    assert len(set(arr.tolist())) == 64
+    assert arr.min() >= 0 and arr.max() < 1_000_000
+    np.testing.assert_array_equal(
+        arr, np.asarray(random_distinct_indices(key, 1_000_000, 64))
+    )
+    # Small-n path (exact permutation): all distinct at n close to k.
+    idx2 = random_distinct_indices(jax.random.PRNGKey(1), 10, 9)
+    assert len(set(np.asarray(idx2).tolist())) == 9
+    # Roughly uniform over a small range (chi-square-ish sanity).
+    counts = np.zeros(50)
+    for i in range(200):
+        s = np.asarray(random_distinct_indices(jax.random.PRNGKey(i), 100_000, 8))
+        counts[s // 2000] += 1
+    assert counts.min() > 0  # every bucket of 2% hit at least once
