@@ -125,3 +125,34 @@ def test_pq_encode_narrow_dtype_rejected():
     codebooks = jnp.zeros((1, 257, 4), dtype=jnp.float32)
     with pytest.raises(OverflowError):
         pq_encode(codebooks, jnp.zeros((4, 4)), dtype=jnp.uint8, interpret=True)
+
+
+def test_kernels_wide_codebook_k_gt_256():
+    """k > 256 exercises >8 packed index bits and uint16 codes across all
+    three kernels (encode / stats / decode)."""
+    from reductive_tpu.ops import pq_assign_stats, pq_decode
+
+    n, m, k, ds = 400, 2, 300, 4
+    kx, kc = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+
+    codes = pq_encode(cb, x, dtype=jnp.uint16, compute_dtype=jnp.float32, interpret=True)
+    assert codes.dtype == jnp.uint16
+    exact = primitives.quantize_batch(cb, x, dtype=jnp.int32)
+    # near-optimality (packed-key coarsening): chosen centroid within a
+    # hair of the best
+    d_kernel = chosen_distances(cb, x, codes)
+    d_exact = chosen_distances(cb, x, exact)
+    assert float(jnp.max(d_kernel - d_exact)) < 1e-3
+
+    sums, counts = pq_assign_stats(cb, x, interpret=True)
+    assert float(jnp.sum(counts)) == n * m
+
+    rec = pq_decode(cb, codes, splits=3, interpret=True)
+    ref = primitives.reconstruct_batch(cb, codes.astype(jnp.int32), method="gather")
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(ref))
+
+    # uint8 must be rejected for k > 256 (reference: primitives.rs:31-34)
+    with pytest.raises(OverflowError):
+        pq_encode(cb, x, dtype=jnp.uint8, interpret=True)
