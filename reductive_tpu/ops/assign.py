@@ -56,14 +56,17 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def pack_block_diagonal(
-    codebooks: Array, compute_dtype=jnp.bfloat16
+    codebooks: Array, compute_dtype=jnp.bfloat16, scale: float = 1.0
 ) -> tuple[Array, Array, int]:
     """Pack ``(m, k, ds)`` codebooks into the block-diagonal ``(d, m*kp)``
     weight matrix plus the ``(1, m*kp)`` squared-norm row.
 
     ``k`` is padded up to a sublane-aligned ``kp`` with ``+inf`` norms so
-    padded columns can never win the argmin.  Pack once per codebook;
-    reuse across encode calls.
+    padded columns can never win the argmin.  ``scale`` multiplies the
+    weights only (the norms stay unscaled): packing ``2c`` lets the
+    kernels compute ``‖c‖² − s`` instead of ``‖c‖² − 2s``, saving one
+    elementwise pass over the score tensor (a power-of-two scale is exact
+    in both bf16 and f32).  Pack once per codebook; reuse across calls.
     """
     m, k, ds = codebooks.shape
     d = m * ds
@@ -73,7 +76,7 @@ def pack_block_diagonal(
     sq = jnp.einsum("mkd,mkd->mk", codebooks, codebooks, precision="highest")
     for j in range(m):
         W = jax.lax.dynamic_update_slice(
-            W, codebooks[j].T.astype(compute_dtype), (j * ds, j * kp)
+            W, (codebooks[j] * scale).T.astype(compute_dtype), (j * ds, j * kp)
         )
         c_sqn = jax.lax.dynamic_update_slice(c_sqn, sq[j][None, :], (0, j * kp))
     return W, c_sqn, kp
@@ -94,6 +97,7 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
     for large-``m``/large-``d`` configurations.
     """
     x = x_ref[:].astype(compute_dtype)
+    bn = x.shape[0]
     per = m // groups
     rows = per * kp
     for g in range(groups):
@@ -103,8 +107,8 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=matmul_precision,
             preferred_element_type=jnp.float32,
-        )  # (rows, bn)
-        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - (s + s)
+        )  # (rows, bn); W holds 2c, so s is already the doubled cross term
+        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
         # Monotonic int ordering of f32 (sign-flip), index in low bits.
         ib = pltpu.bitcast(dists, jnp.int32)
         c31 = jnp.int32(31)
@@ -114,10 +118,9 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
         )
         seg_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % kp
         key = (key & ~idx_mask) | seg_iota
+        mins = jnp.min(key.reshape(per, kp, bn), axis=1)  # (per, bn)
         for j in range(per):
-            codes_ref[g * per + j, :] = (
-                jnp.min(key[j * kp:(j + 1) * kp, :], axis=0) & idx_mask
-            )
+            codes_ref[g * per + j, :] = mins[j] & idx_mask
 
 
 def _choose_tiling(m: int, kp: int, d: int, compute_itemsize: int,
@@ -182,7 +185,7 @@ def pq_encode(
             f"quantizer reconstructs {m * ds}"
         )
 
-    W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype)
+    W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype, scale=2.0)
     Wt = W.T  # (m*kp, d)
     block_n, groups = _choose_tiling(
         m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n

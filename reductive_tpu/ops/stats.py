@@ -71,8 +71,8 @@ def _stats_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=matmul_precision,
             preferred_element_type=jnp.float32,
-        )  # (rows, bn)
-        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - (s + s)
+        )  # (rows, bn); W holds 2c, so s is already the doubled cross term
+        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
         ib = pltpu.bitcast(dists, jnp.int32)
         c31 = jnp.int32(31)
         c1 = jnp.int32(1)
@@ -82,12 +82,9 @@ def _stats_kernel(
         seg_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % kp
         key = (key & ~idx_mask) | seg_iota
         # Exact one-hot: the packed index makes each column's min unique.
-        parts = []
-        for j in range(per):
-            seg = key[j * kp:(j + 1) * kp, :]
-            mn = jnp.min(seg, axis=0, keepdims=True)  # (1, bn)
-            parts.append(seg == mn)
-        onehot = jnp.concatenate(parts, axis=0).astype(compute_dtype)
+        key3 = key.reshape(per, kp, block_n)
+        mins = jnp.min(key3, axis=1, keepdims=True)  # (per, 1, bn)
+        onehot = (key3 == mins).reshape(rows, block_n).astype(compute_dtype)
         onehot = onehot * valid.astype(compute_dtype)  # zero padded columns
         ps = jax.lax.dot_general(
             onehot,
@@ -145,7 +142,7 @@ def pq_assign_stats(
             f"Quantizer and vector length mismatch: input has {d} columns, "
             f"quantizer reconstructs {m * ds}"
         )
-    W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype)
+    W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype, scale=2.0)
     Wt = W.T
     block_n, groups = _choose_stats_tiling(
         m, kp, d, jnp.dtype(compute_dtype).itemsize
