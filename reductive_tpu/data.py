@@ -87,6 +87,17 @@ def stream_encode_batches(
         yield drain_one()
 
 
+def _reader_batches(reader, batch_size: int, start: int, stop: int):
+    """Prefer the native prefetch executor when the reader has one.
+
+    ``copy=True`` — device_put may stage the host buffer asynchronously,
+    and the prefetcher's ring slot is recycled on the next step; the
+    memcpy is cheap next to the conversion it overlaps."""
+    if hasattr(reader, "prefetch_batches"):
+        return reader.prefetch_batches(batch_size, start, stop, copy=True)
+    return reader.batches(batch_size, start, stop)
+
+
 def stream_encode(
     pq: Pq,
     reader,
@@ -106,14 +117,7 @@ def stream_encode(
     stop = reader.n if stop is None else min(stop, reader.n)
     n = stop - start
     out = np.empty((n, pq.quantized_len), dtype=np.dtype(dtype))
-    if hasattr(reader, "prefetch_batches"):
-        # Native prefetch executor: a producer thread reads + converts
-        # ahead.  copy=True — device_put may stage the host buffer
-        # asynchronously, and the ring slot is recycled on the next step;
-        # the memcpy is cheap next to the conversion it overlaps.
-        batches = reader.prefetch_batches(batch_size, start, stop, copy=True)
-    else:
-        batches = reader.batches(batch_size, start, stop)
+    batches = _reader_batches(reader, batch_size, start, stop)
     for off, codes in stream_encode_batches(
         pq,
         batches,
@@ -205,10 +209,7 @@ def stream_encode_resumable(
             os.fsync(f.fileno())
         os.replace(tmp, progress_path)
 
-    if hasattr(reader, "prefetch_batches"):
-        batches = reader.prefetch_batches(batch_size, start, n, copy=True)
-    else:
-        batches = reader.batches(batch_size, start, n)
+    batches = _reader_batches(reader, batch_size, start, n)
 
     completed = start
     since_flush = 0

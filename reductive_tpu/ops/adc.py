@@ -28,19 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .assign import _round_up
-from .decode import split_bf16
+from .decode import fit_block_n, lane_multihot, split_bf16
 
 __all__ = ["adc_scores_kernel"]
 
 
 def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits):
-    codes = codes_ref[:]  # (bn, m) int32
-    bn = codes.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
-    multihot = jnp.concatenate(
-        [(lane == codes[:, j][:, None]).astype(jnp.bfloat16) for j in range(m)],
-        axis=1,
-    )  # (bn, m*kp)
+    multihot = lane_multihot(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for s in range(splits):
         acc += jax.lax.dot_general(
@@ -86,24 +80,15 @@ def adc_scores_kernel(
 
     if block_n is None:
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
-    # VMEM feasibility: resident tables + per-block multi-hot/out/codes.
-    budget = 13 * (1 << 20)
-    while block_n > 128:
-        need = (
-            splits * m * kp * max(nq, 128) * 2      # resident table splits
-            + block_n * m * kp * 2                  # multi-hot transient
-            + block_n * max(nq, 128) * 4            # output block
-            + block_n * m * 4                       # codes block
-        )
-        if need <= budget:
-            break
-        block_n //= 2
-    if splits * m * kp * max(nq, 128) * 2 + 128 * (m * kp * 2 + max(nq, 128) * 4) > budget:
-        raise ValueError(
-            f"no VMEM-feasible tiling for nq={nq}, m={m}, k~{kp}, "
-            f"splits={splits}; batch the queries (e.g. <=256 per call) or "
-            "use the einsum scorer (reductive_tpu.search.adc_scores)"
-        )
+    nqp = max(nq, 128)
+    block_n = fit_block_n(
+        block_n,
+        resident=splits * m * kp * nqp * 2,             # table splits
+        per_row=m * kp * 2 + nqp * 4 + m * 4,           # multihot + out + codes
+        what=f"nq={nq}, m={m}, k~{kp}, splits={splits}",
+        fallback="batch the queries (e.g. <=256 per call) or use the "
+                 "einsum scorer (reductive_tpu.search.adc_scores)",
+    )
 
     kernel = functools.partial(_adc_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

@@ -37,6 +37,31 @@ from .assign import _round_up
 __all__ = ["pq_decode", "split_bf16", "split_codebook_bf16"]
 
 
+def lane_multihot(codes, m: int, kp: int, dtype) -> Array:
+    """Per-subquantizer one-hot along lanes: ``(bn, m*kp)`` with a 1 at
+    lane ``j*kp + codes[i, j]`` for each subquantizer ``j``.  The in-VMEM
+    building block shared by the decode and ADC kernels."""
+    bn = codes.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
+    return jnp.concatenate(
+        [(lane == codes[:, j][:, None]).astype(dtype) for j in range(m)],
+        axis=1,
+    )
+
+
+def fit_block_n(block_n: int, resident: int, per_row: int, what: str,
+                fallback: str, budget: int = 13 * (1 << 20)) -> int:
+    """Shrink ``block_n`` until resident + block_n * per_row bytes fit the
+    VMEM budget; raise an informative error when even 128 rows cannot."""
+    while block_n > 128 and resident + block_n * per_row > budget:
+        block_n //= 2
+    if resident + 128 * per_row > budget:
+        raise ValueError(
+            f"no VMEM-feasible tiling for {what}; {fallback}"
+        )
+    return block_n
+
+
 def split_bf16(W: Array, splits: int) -> Array:
     """Split an f32 matrix into ``splits`` stacked bfloat16 components
     whose f32 sum reconstructs it (exactly, for ``splits=3``,
@@ -68,13 +93,7 @@ def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
 
 
 def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
-    codes = codes_ref[:]  # (bn, m) int32
-    bn = codes.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
-    onehot = jnp.concatenate(
-        [(lane == codes[:, j][:, None]).astype(jnp.bfloat16) for j in range(m)],
-        axis=1,
-    )  # (bn, m*kp)
+    onehot = lane_multihot(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for s in range(splits):
         acc += jax.lax.dot_general(
@@ -119,24 +138,14 @@ def pq_decode(
     if block_n is None:
         # onehot (bn, m*kp) bf16 is the dominant transient; keep it ~4 MB.
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
-    # VMEM feasibility: resident weight splits + per-block transients.
-    budget = 13 * (1 << 20)
-    while block_n > 128:
-        need = (
-            splits * m * kp * d * 2                 # resident W splits
-            + block_n * m * kp * 2                  # onehot transient
-            + block_n * d * 4 * 2                   # accumulator + out
-            + block_n * m * 4                       # codes block
-        )
-        if need <= budget:
-            break
-        block_n //= 2
-    if splits * m * kp * d * 2 + 128 * (m * kp * 2 + d * 8) > budget:
-        raise ValueError(
-            f"no VMEM-feasible tiling for m={m}, k~{kp}, d={d}, "
-            f"splits={splits}; use the gather/onehot path "
-            "(reductive_tpu.pq.primitives.reconstruct_batch)"
-        )
+    block_n = fit_block_n(
+        block_n,
+        resident=splits * m * kp * d * 2,           # W splits
+        per_row=m * kp * 2 + d * 8 + m * 4,         # onehot + acc/out + codes
+        what=f"m={m}, k~{kp}, d={d}, splits={splits}",
+        fallback="use the gather/onehot path "
+                 "(reductive_tpu.pq.primitives.reconstruct_batch)",
+    )
 
     kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

@@ -216,7 +216,9 @@ def _chunk_stats(
 
         codes = primitives.quantize_batch(codebooks, xc, dtype=jnp.int32)
     exact = compute_dtype == jnp.float32
-    stats_dtype = xc.dtype if exact else compute_dtype
+    # f32 inputs in exact mode even for a low-precision corpus; the
+    # compute dtype (bf16) in throughput mode.
+    stats_dtype = jnp.float32 if exact else compute_dtype
     onehot = jax.nn.one_hot(codes.T, k, dtype=stats_dtype)  # (m, c, k)
     xs_m = jnp.moveaxis(xc.reshape(-1, m, ds), 1, 0)  # (m, c, ds)
     xs_aug = jnp.concatenate(
