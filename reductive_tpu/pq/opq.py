@@ -117,6 +117,29 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
     return eigen_vectors[:, permutation]
 
 
+def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
+    """The orthogonal polar factor of a full-rank square matrix via
+    Newton–Schulz iteration — the Procrustes solution ``R = U V^T`` of
+    ``svd(M)`` (Ge et al., 2013, Eq. 7) without an SVD.
+
+    ``X ← 1.5 X − 0.5 X Xᵀ X`` converges quadratically to the polar factor
+    once ``‖X‖₂ < √3``; normalizing by the Frobenius norm guarantees that.
+    Small singular values first grow ×1.5 per step, so 40 iterations
+    cover condition numbers up to ~1e7 — beyond what f32 SVD resolves
+    anyway.  Everything is a ``(d, d)`` MXU matmul, so on TPU this
+    replaces an ~11 ms ``jnp.linalg.svd`` (d = 128) with microseconds of
+    matmuls — the polar factor is unique for full-rank input, so the
+    result matches the SVD route to float tolerance.
+    """
+    X = M / jnp.linalg.norm(M)
+
+    def body(_, X):
+        XXt = jnp.dot(X, X.T, precision="highest")
+        return 1.5 * X - 0.5 * jnp.dot(XXt, X, precision="highest")
+
+    return jax.lax.fori_loop(0, iterations, body, X)
+
+
 @jax.jit
 def _alternate(
     x: Array, projection: Array, codebooks: Array, n_iterations: Array
@@ -144,8 +167,8 @@ def _alternate(
         codebooks, _ = jax.vmap(lambda xs, c: kmeans_iteration(xs, c))(rxs, codebooks)
         codes = primitives.quantize_batch(codebooks, rx, dtype=jnp.int32)
         reconstructed = primitives.reconstruct_batch(codebooks, codes)
-        u, _, vt = jnp.linalg.svd(jnp.dot(x.T, reconstructed, precision="highest"), full_matrices=False)
-        return u @ vt, codebooks
+        M = jnp.dot(x.T, reconstructed, precision="highest")
+        return polar_orthogonalize(M), codebooks
 
     return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
 
@@ -282,8 +305,7 @@ def _opq_iteration_chunked(
         M, _ = cross_body(M, x[n_main:])
     if axis_name is not None:
         M = jax.lax.psum(M, axis_name)
-    u, _, vt = jnp.linalg.svd(M.astype(x.dtype), full_matrices=False)
-    return (u @ vt), new_codebooks
+    return polar_orthogonalize(M.astype(x.dtype)), new_codebooks
 
 
 @partial(jax.jit, static_argnames=("k", "ds"))

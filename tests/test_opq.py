@@ -89,3 +89,24 @@ def test_opq_projection_roundtrip_orthonormal():
     pq = train_opq(train_key, instances, 4, 4, 5)
     R = np.asarray(pq.projection)
     np.testing.assert_allclose(R.T @ R, np.eye(8), atol=1e-4)
+
+
+def test_polar_orthogonalize_matches_svd():
+    """Newton-Schulz polar factor == the SVD Procrustes solution U V^T for
+    full-rank input, and stays orthonormal even when ill-conditioned."""
+    from reductive_tpu.pq.opq import polar_orthogonalize
+
+    for seed, d in [(0, 8), (1, 64), (2, 128)]:
+        M = jax.random.normal(jax.random.PRNGKey(seed), (d, d), dtype=jnp.float32)
+        R = polar_orthogonalize(M)
+        u, _, vt = jnp.linalg.svd(M)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(u @ vt), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(R.T @ R), np.eye(d), atol=5e-6
+        )
+    # condition number 1e6: orthonormality must survive
+    M = jnp.diag(jnp.logspace(-3, 3, 16)) @ jax.random.normal(
+        jax.random.PRNGKey(9), (16, 16)
+    )
+    R = polar_orthogonalize(M)
+    np.testing.assert_allclose(np.asarray(R.T @ R), np.eye(16), atol=1e-4)
