@@ -63,7 +63,7 @@ def stream_encode_batches(
     padded on device entry and trimmed on exit.
     """
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     fn = _encode_fn(pq, dtype, use_kernel)
     codebooks, projection = pq.codebooks, pq.projection
 
@@ -142,12 +142,24 @@ def stream_encode(
 # given (model, corpus), so restart continues bit-identically.
 
 
-def _model_fingerprint(pq: Pq, n: int, batch_size: int, dtype) -> str:
+def _model_fingerprint(pq: Pq, reader, batch_size: int, dtype) -> str:
     h = hashlib.sha256()
     h.update(np.asarray(pq.codebooks).tobytes())
     if pq.projection is not None:
         h.update(np.asarray(pq.projection).tobytes())
-    h.update(f"{n}:{batch_size}:{np.dtype(dtype).name}".encode())
+    h.update(f"{reader.n}:{batch_size}:{np.dtype(dtype).name}".encode())
+    # Corpus identity: a regenerated same-length corpus must not resume a
+    # stale prefix.  Sample the file's head and tail plus its size/mtime
+    # when the reader is file-backed.
+    path = getattr(reader, "path", None)
+    if path is not None and os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        with open(path, "rb") as f:
+            h.update(f.read(4096))
+            if st.st_size > 8192:
+                f.seek(-4096, os.SEEK_END)
+                h.update(f.read(4096))
     return h.hexdigest()
 
 
@@ -166,14 +178,17 @@ def stream_encode_resumable(
 
     Progress is tracked in ``<out_path>.progress.json`` (atomic replace):
     if it exists and its fingerprint matches this (model, corpus, config),
-    encoding continues from the recorded contiguous prefix; a finished run
-    removes the sidecar.  Returns the completed read-only memmap.
+    encoding continues from the recorded contiguous prefix.  The sidecar
+    is kept with ``completed_rows == n`` after success, making the call
+    idempotent — a supervisor that blindly re-runs the command returns
+    the finished output instead of re-encoding (or worse, truncating) it.
+    Returns the completed read-only memmap.
     """
     n = reader.n
     m = pq.quantized_len
     np_dtype = np.dtype(dtype)
     progress_path = out_path + ".progress.json"
-    fingerprint = _model_fingerprint(pq, n, batch_size, np_dtype)
+    fingerprint = _model_fingerprint(pq, reader, batch_size, np_dtype)
 
     start = 0
     if os.path.exists(progress_path) and os.path.exists(out_path):
@@ -188,6 +203,9 @@ def stream_encode_resumable(
                 start = int(state["completed_rows"])
         except (ValueError, KeyError, OSError):
             start = 0  # unreadable sidecar: restart from scratch
+
+    if start >= n:  # already complete: idempotent return
+        return np.memmap(out_path, dtype=np_dtype, mode="r", shape=(n, m))
 
     mode = "r+" if (start > 0 and os.path.exists(out_path)) else "w+"
     out = np.memmap(out_path, dtype=np_dtype, mode=mode, shape=(n, m))
@@ -226,6 +244,5 @@ def stream_encode_resumable(
             since_flush = 0
 
     out.flush()
-    if os.path.exists(progress_path):
-        os.remove(progress_path)
+    write_progress(n)  # completion marker — kept for idempotent re-runs
     return np.memmap(out_path, dtype=np_dtype, mode="r", shape=(n, m))

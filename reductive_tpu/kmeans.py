@@ -341,7 +341,7 @@ def kmeans_with_centroids_chunked(
     from .pq.train import lloyd_iteration_chunked
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     if centroids.shape[0] == 0:
         raise ValueError("Cannot cluster instances with zero centroids.")
     if centroids.shape[1] != x.shape[1]:

@@ -48,7 +48,11 @@ def initialize_distributed(
     global _initialized
     if _initialized:
         return
-    explicit = coordinator_address is not None or num_processes is not None
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -57,13 +61,19 @@ def initialize_distributed(
             **kwargs,
         )
         _initialized = True
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         if explicit:
             raise
         # No discoverable multi-process topology (or the backend is
         # already up in a single-process session): run single-process.
+        # Warn loudly — on a real pod a swallowed failure here would mean
+        # every host silently trains on its own shard alone.
         import logging
 
-        logging.getLogger("reductive_tpu").debug(
-            "jax.distributed not initialized; continuing single-process"
+        logging.getLogger("reductive_tpu").warning(
+            "jax.distributed.initialize failed (%s); continuing "
+            "single-process. If this is a multi-host pod, pass the "
+            "topology explicitly — training would otherwise silently "
+            "cover only this host's shard.",
+            e,
         )

@@ -165,10 +165,11 @@ def sharded_pq_train_step(
 
 
 @functools.partial(jax.jit, static_argnames=("m", "k"))
-def _init_sharded_codebooks(x, key, *, m: int, k: int):
+def _init_sharded_codebooks(x, key, *, m: int, k: int, projection=None):
     """k distinct random instances per subquantizer from the (sharded)
-    global instance matrix; XLA gathers across shards.  Module-level jit —
-    the compile cache survives across training calls."""
+    global instance matrix, rotated (rows only) when a projection is
+    given; XLA gathers across shards.  Module-level jit — the compile
+    cache survives across training calls."""
     n, d = x.shape
     ds = d // m
     keys = jax.random.split(key, m)
@@ -178,6 +179,8 @@ def _init_sharded_codebooks(x, key, *, m: int, k: int):
     def init_one(key, j):
         idx = random_distinct_indices(key, n, k)
         rows = jnp.take(x, idx, axis=0)
+        if projection is not None:
+            rows = jnp.dot(rows, projection, precision="highest")
         return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
 
     return jax.vmap(init_one)(keys, jnp.arange(m))
@@ -282,13 +285,15 @@ def train_pq_chunked_sharded(
         )
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
-    rx = x if projection is None else jnp.dot(x, projection, precision="highest")
-    # sumsq of the (rotated) data; GSPMD reduces across shards.  The
-    # rotated matrix used here is a temporary for sumsq/init only — the
-    # training loop rotates chunks on the fly.
-    sumsq = jnp.sum(rx.reshape(n, m, ds).astype(jnp.float32) ** 2, axis=(0, 2))
+    # sumsq of the (rotated) data; rotation is fused into the reduction
+    # under one jit — the rotated corpus is never held live (the training
+    # loop rotates chunks on the fly, and codebook init rotates only the
+    # k sampled rows).
+    from ..pq.train import _streamed_sumsq
+
+    sumsq = _streamed_sumsq(x, m, chunk=chunk, projection=projection)
 
     step = _chunked_sharded_step(
         mesh, data_axis, chunk, use_kernel, compute_dtype, interpret,
@@ -299,7 +304,7 @@ def train_pq_chunked_sharded(
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
         codebooks = _init_sharded_codebooks(
-            rx, jax.random.fold_in(key, attempt), m=m, k=k
+            x, jax.random.fold_in(key, attempt), m=m, k=k, projection=projection
         )
         cb, loss = step(x, codebooks, sumsq, n_iterations, proj_arg)
         if best_cb is None:
@@ -336,6 +341,7 @@ def _opq_sharded_step(
             return _opq_iteration_chunked(
                 x_local, proj, cb, chunk=chunk, use_kernel=use_kernel,
                 compute_dtype=compute_dtype, axis_name=data_axis,
+                interpret=interpret,
             )
 
         return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
@@ -377,7 +383,7 @@ def train_opq_chunked_sharded(
         )
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     x = jax.device_put(instances, NamedSharding(mesh, P(data_axis, None)))
     # Covariance + eigh are GSPMD over the sharded instances; the greedy
     # bucketing is host-side on the d eigenvalues (tiny, once).

@@ -129,7 +129,10 @@ def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
     anyway.  Everything is a ``(d, d)`` MXU matmul, so on TPU this
     replaces an ~11 ms ``jnp.linalg.svd`` (d = 128) with microseconds of
     matmuls — the polar factor is unique for full-rank input, so the
-    result matches the SVD route to float tolerance.
+    result matches the SVD route to float tolerance.  A runtime
+    orthogonality check falls back to the SVD for rank-deficient /
+    extremely ill-conditioned input (e.g. ``m * k < d``, where the
+    Procrustes cross-matrix is structurally singular).
     """
     X = M / jnp.linalg.norm(M)
 
@@ -137,7 +140,19 @@ def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
         XXt = jnp.dot(X, X.T, precision="highest")
         return 1.5 * X - 0.5 * jnp.dot(XXt, X, precision="highest")
 
-    return jax.lax.fori_loop(0, iterations, body, X)
+    R = jax.lax.fori_loop(0, iterations, body, X)
+    # Rank-deficient M (structural whenever m*k < d: rank(X_hat) <= m*k)
+    # leaves null-space singular values at zero — R would not be
+    # orthogonal.  Guard with an orthogonality check and fall back to the
+    # SVD route; lax.cond executes only the taken branch, so the SVD
+    # price is paid only when actually needed.
+    err = jnp.max(jnp.abs(jnp.dot(R.T, R, precision="highest") - jnp.eye(M.shape[0])))
+
+    def svd_route(_):
+        u, _, vt = jnp.linalg.svd(M, full_matrices=False)
+        return u @ vt
+
+    return jax.lax.cond(err < 1e-3, lambda _: R, svd_route, operand=None)
 
 
 @jax.jit
@@ -224,7 +239,7 @@ def train_opq(
 def _opq_iteration_chunked(
     x: Array, projection: Array, codebooks: Array, *,
     chunk: int, use_kernel: bool, compute_dtype,
-    axis_name: Optional[str] = None,
+    axis_name: Optional[str] = None, interpret: bool = False,
 ):
     """One OPQ alternation at corpus scale, streaming over ``n``.
 
@@ -263,7 +278,7 @@ def _opq_iteration_chunked(
         rxc = rotate(xc)
         s2, c2 = assign_stats_streamed(
             rxc, codebooks, chunk=chunk, use_kernel=use_kernel,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, interpret=interpret,
         )
         return (s + s2, c + c2), None
 
@@ -288,11 +303,12 @@ def _opq_iteration_chunked(
         rxc = rotate(xc)
         if use_kernel:
             codes = ops.pq_encode(
-                new_codebooks, rxc, dtype=jnp.int32, compute_dtype=compute_dtype
+                new_codebooks, rxc, dtype=jnp.int32,
+                compute_dtype=compute_dtype, interpret=interpret,
             )
             # Fused bit-exact decode — the one-hot einsum would
             # materialize a (chunk, m, k) transient per scan step.
-            rec = ops.pq_decode(new_codebooks, codes, splits=3)
+            rec = ops.pq_decode(new_codebooks, codes, splits=3, interpret=interpret)
         else:
             codes = primitives.quantize_batch(new_codebooks, rxc, dtype=jnp.int32)
             rec = primitives.reconstruct_batch(new_codebooks, codes, method="gather")
@@ -359,7 +375,7 @@ def train_opq_chunked(
     distance tensor cannot be materialized.  ``use_kernel=None`` selects
     the fused kernels on TPU and the einsum fallback elsewhere."""
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, 1, n, d

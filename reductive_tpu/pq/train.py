@@ -393,7 +393,7 @@ def train_pq_chunked(
     and the einsum fallback elsewhere.
     """
     if use_kernel is None:
-        use_kernel = jax.default_backend() != "cpu"
+        use_kernel = jax.default_backend() == "tpu"
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d

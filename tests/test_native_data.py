@@ -204,21 +204,30 @@ def test_stream_encode_resumable_restart(tmp_path):
         half = stream_encode_resumable(pq, r, out_path, batch_size=256)
     # Forge the interrupted state: truncate progress to 1024 rows and
     # corrupt everything after it.
+    from reductive_tpu.data import _model_fingerprint
+
     sidecar = out_path + ".progress.json"
     mm = np.memmap(out_path, dtype=np.uint8, mode="r+", shape=(2_000, 4))
     mm[1024:] = 255
     mm.flush()
+    with VecsReader(path) as r:
+        fp = _model_fingerprint(pq, r, 256, np.dtype(np.uint8))
     with open(sidecar, "w") as f:
-        json.dump({
-            "fingerprint": __import__("reductive_tpu.data", fromlist=["x"])._model_fingerprint(
-                pq, 2_000, 256, np.dtype(np.uint8)),
-            "n": 2_000, "m": 4, "dtype": "uint8", "completed_rows": 1024,
-        }, f)
+        json.dump({"fingerprint": fp, "n": 2_000, "m": 4,
+                   "dtype": "uint8", "completed_rows": 1024}, f)
 
     with VecsReader(path) as r:
         resumed = stream_encode_resumable(pq, r, out_path, batch_size=256)
     np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
-    assert not (tmp_path / "codes.bin.progress.json").exists()
+    # The sidecar survives as a completion marker; a blind re-run is
+    # idempotent (returns the finished output without truncating it).
+    assert (tmp_path / "codes.bin.progress.json").exists()
+    mm2 = np.memmap(out_path, dtype=np.uint8, mode="r+", shape=(2_000, 4))
+    mm2[0] = 77  # sentinel: would be zeroed by a w+ reopen
+    mm2.flush()
+    with VecsReader(path) as r:
+        again = stream_encode_resumable(pq, r, out_path, batch_size=256)
+    assert np.all(np.asarray(again[0]) == 77)  # untouched: no re-encode
 
     # A fingerprint mismatch (different model) restarts from scratch.
     pq2 = Pq(codebooks=jnp.asarray(rng.standard_normal((4, 8, 4)), dtype=jnp.float32))
