@@ -150,7 +150,10 @@ def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
 
     def svd_route(_):
         u, _, vt = jnp.linalg.svd(M, full_matrices=False)
-        return u @ vt
+        R0 = u @ vt
+        # TPU's f32 SVD leaves ~1e-3 orthogonality error; two polish
+        # steps converge it quadratically to f32 eps.
+        return jax.lax.fori_loop(0, 2, body, R0)
 
     return jax.lax.cond(err < 1e-3, lambda _: R, svd_route, operand=None)
 
