@@ -230,12 +230,16 @@ def mean_squared_error(centroids: Array, x: Array, assignments: Array) -> Array:
     return sse / jnp.asarray(x.size, dtype=x.dtype)
 
 
-def kmeans_iteration(x: Array, centroids: Array) -> Tuple[Array, Array]:
+def kmeans_iteration(
+    x: Array, centroids: Array, instance_axis: int = 0
+) -> Tuple[Array, Array]:
     """One Lloyd's step: assign → update → loss (reference:
     ``src/kmeans.rs:291-328``).  Returns the new centroids and the MSE of
     the instances against the **updated** centroids under the assignments
     computed from the old centroids — the reference's exact loss
-    definition.
+    definition.  ``instance_axis`` selects rows (0) or columns (1) as
+    instances, mirroring the reference's ``Axis`` parameter; centroids
+    are always rows.
 
     The one-hot assignment matrix is built once and drives both the
     centroid update and the loss: selecting assigned centroids as
@@ -243,6 +247,7 @@ def kmeans_iteration(x: Array, centroids: Array) -> Tuple[Array, Array]:
     ``precision="highest"`` — bit-exact) is ~5x faster on TPU than the
     row gather, whose scalar-ish lowering dominated the iteration.
     """
+    x = _instances_as_rows(x, instance_axis)
     k = centroids.shape[0]
     if k == 0:
         raise ValueError("Cannot cluster instances with zero centroids.")
@@ -260,18 +265,30 @@ def kmeans_iteration(x: Array, centroids: Array) -> Tuple[Array, Array]:
     return new_centroids, loss
 
 
+def _instances_as_rows(x: Array, instance_axis: int) -> Array:
+    """Normalize the reference's ``Axis`` parameter: instances as rows."""
+    if instance_axis == 1:
+        return x.T
+    if instance_axis != 0:
+        raise ValueError(f"instance_axis must be 0 or 1, got {instance_axis}")
+    return x
+
+
 def kmeans_with_centroids(
     x: Array,
     centroids: Array,
     stop: StopCondition | int,
+    instance_axis: int = 0,
 ) -> Tuple[Array, Array]:
     """Run Lloyd's iterations from the given initial centroids (reference:
     ``KMeansWithCentroids``, ``src/kmeans.rs:248-288``).
 
     ``stop`` may be an int (shorthand for :class:`NIterations`), an
-    :class:`NIterations`, or a :class:`LossConvergence`.  Returns
+    :class:`NIterations`, or a :class:`LossConvergence`; ``instance_axis``
+    mirrors the reference's ``Axis`` parameter.  Returns
     ``(centroids, final_loss)``.
     """
+    x = _instances_as_rows(x, instance_axis)
     if isinstance(stop, int):
         stop = NIterations(stop)
     if centroids.shape[0] == 0:
@@ -379,10 +396,7 @@ def kmeans(
     of ``x``, mirroring the reference's ``Axis`` parameter; centroids are
     always returned as rows.
     """
-    if instance_axis == 1:
-        x = x.T
-    elif instance_axis != 0:
-        raise ValueError(f"instance_axis must be 0 or 1, got {instance_axis}")
+    x = _instances_as_rows(x, instance_axis)
     n = x.shape[0]
     if k == 0 or k > n:
         raise ValueError("k cannot be larger than the number of data points or zero")

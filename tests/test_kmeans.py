@@ -215,3 +215,18 @@ def test_random_distinct_indices():
         s = np.asarray(random_distinct_indices(jax.random.PRNGKey(i), 100_000, 8))
         counts[s // 2000] += 1
     assert counts.min() > 0  # every bucket of 2% hit at least once
+
+
+def test_kmeans_iteration_and_with_centroids_axis1():
+    """instance_axis=1 (instances as columns) mirrors the reference's Axis
+    parameter on the single-iteration and from-centroids drivers too."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (100, 6), dtype=jnp.float32)
+    init = x[:5]
+    c0, l0 = kmeans_iteration(x, init)
+    c1, l1 = kmeans_iteration(x.T, init, instance_axis=1)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert float(l0) == float(l1)
+    c0, l0 = kmeans_with_centroids(x, init, 4)
+    c1, l1 = kmeans_with_centroids(x.T, init, 4, instance_axis=1)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    assert float(l0) == float(l1)
