@@ -117,7 +117,9 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
     return eigen_vectors[:, permutation]
 
 
-def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
+def polar_orthogonalize(
+    M: Array, iterations: int = 40, svd_fallback: bool = True
+) -> Array:
     """The orthogonal polar factor of a full-rank square matrix via
     Newton–Schulz iteration — the Procrustes solution ``R = U V^T`` of
     ``svd(M)`` (Ge et al., 2013, Eq. 7) without an SVD.
@@ -141,11 +143,15 @@ def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
         return 1.5 * X - 0.5 * jnp.dot(XXt, X, precision="highest")
 
     R = jax.lax.fori_loop(0, iterations, body, X)
+    if not svd_fallback:
+        return R
     # Rank-deficient M (structural whenever m*k < d: rank(X_hat) <= m*k)
     # leaves null-space singular values at zero — R would not be
     # orthogonal.  Guard with an orthogonality check and fall back to the
     # SVD route; lax.cond executes only the taken branch, so the SVD
-    # price is paid only when actually needed.
+    # price is paid only when actually needed.  Callers that statically
+    # know M is full-rank (m*k >= d) pass svd_fallback=False to keep the
+    # slow-to-compile TPU SVD out of the graph entirely.
     err = jnp.max(jnp.abs(jnp.dot(R.T, R, precision="highest") - jnp.eye(M.shape[0])))
 
     def svd_route(_):
@@ -177,6 +183,7 @@ def _alternate(
     """
     m, k, ds = codebooks.shape
     n = x.shape[0]
+    n_dim = m * ds
 
     def body(_, carry):
         projection, codebooks = carry
@@ -186,7 +193,7 @@ def _alternate(
         codes = primitives.quantize_batch(codebooks, rx, dtype=jnp.int32)
         reconstructed = primitives.reconstruct_batch(codebooks, codes)
         M = jnp.dot(x.T, reconstructed, precision="highest")
-        return polar_orthogonalize(M), codebooks
+        return polar_orthogonalize(M, svd_fallback=m * k < n_dim), codebooks
 
     return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
 
@@ -324,7 +331,10 @@ def _opq_iteration_chunked(
         M, _ = cross_body(M, x[n_main:])
     if axis_name is not None:
         M = jax.lax.psum(M, axis_name)
-    return polar_orthogonalize(M.astype(x.dtype)), new_codebooks
+    return (
+        polar_orthogonalize(M.astype(x.dtype), svd_fallback=m * k < d),
+        new_codebooks,
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "ds"))
