@@ -238,3 +238,27 @@ def test_stream_encode_resumable_restart(tmp_path):
         fresh = stream_encode_resumable(pq2, r, out_path, batch_size=256)
     ref2 = pq2.quantize_batch(jnp.asarray(data))
     np.testing.assert_array_equal(np.asarray(fresh), np.asarray(ref2))
+
+
+def test_u4_end_to_end_roundtrip():
+    """4-bit deployment path: k=16 quantizer -> uint8 codes -> packed
+    nibbles on disk -> unpack -> bit-identical reconstruction."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from reductive_tpu import Pq
+    from reductive_tpu.native import pack_u4, unpack_u4
+
+    rng = np.random.default_rng(11)
+    pq = Pq(codebooks=jnp.asarray(rng.standard_normal((8, 16, 4)), dtype=jnp.float32))
+    x = jnp.asarray(rng.standard_normal((999, 32)), dtype=jnp.float32)
+    codes = np.asarray(pq.quantize_batch(x, dtype=jnp.uint8))
+    assert codes.max() < 16
+
+    packed = pack_u4(codes)
+    assert packed.nbytes == (codes.size + 1) // 2  # half the storage
+    restored = unpack_u4(packed, codes.size).reshape(codes.shape)
+    np.testing.assert_array_equal(restored, codes)
+
+    rec_a = pq.reconstruct_batch(jnp.asarray(codes))
+    rec_b = pq.reconstruct_batch(jnp.asarray(restored))
+    np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
