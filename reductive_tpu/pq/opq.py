@@ -280,7 +280,9 @@ def _opq_iteration_chunked(
     prec = "highest" if exact else None
 
     def rotate(xc):
-        return jnp.dot(xc, projection, precision="highest")
+        # In throughput mode the rotation's bf16 rounding (~2^-9) is the
+        # same order as every other matmul in the pass.
+        return jnp.dot(xc, projection, precision="highest" if exact else None)
 
     # Pass 1: k-means statistics on rotated chunks.
     def stats_body(carry, xc):
@@ -316,9 +318,15 @@ def _opq_iteration_chunked(
                 new_codebooks, rxc, dtype=jnp.int32,
                 compute_dtype=compute_dtype, interpret=interpret,
             )
-            # Fused bit-exact decode — the one-hot einsum would
-            # materialize a (chunk, m, k) transient per scan step.
-            rec = ops.pq_decode(new_codebooks, codes, splits=3, interpret=interpret)
+            # Fused decode — the one-hot einsum would materialize a
+            # (chunk, m, k) transient per scan step.  Exact mode gets the
+            # bit-exact 3-split; throughput mode uses one bf16 pass (the
+            # ~2^-9 reconstruction rounding is far below the Procrustes
+            # update's own bf16 noise and costs half the decode time).
+            rec = ops.pq_decode(
+                new_codebooks, codes, splits=3 if exact else 1,
+                interpret=interpret,
+            )
         else:
             codes = primitives.quantize_batch(new_codebooks, rxc, dtype=jnp.int32)
             rec = primitives.reconstruct_batch(new_codebooks, codes, method="gather")
