@@ -105,7 +105,10 @@ def _choose_stats_tiling(m, kp, d, compute_itemsize):
     budget = 13 * (1 << 20)
     w_bytes = m * kp * d * compute_itemsize
     acc_bytes = m * kp * (d + 8) * 4
-    for bn in (2048, 1024, 512, 256, 128):
+    # 1024-row blocks measured ~8% faster than 2048 at the flagship shape
+    # (the kernel is VPU-bound on the one-hot build, and smaller score
+    # tiles pipeline better against the two matmuls).
+    for bn in (1024, 2048, 512, 256, 128):
         x_bytes = bn * d * (4 + compute_itemsize)
         for groups in [g for g in range(1, m + 1) if m % g == 0]:
             rows = (m // groups) * kp
