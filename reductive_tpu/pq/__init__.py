@@ -26,9 +26,14 @@ from .opq import (
     train_opq_chunked,
 )
 from .train import train_pq, train_pq_chunked
+from .traits import GaussianOpq, Opq, PqTrainer, entropy_key
 
 __all__ = [
     "Pq",
+    "PqTrainer",
+    "Opq",
+    "GaussianOpq",
+    "entropy_key",
     "primitives",
     "train_pq",
     "train_pq_chunked",

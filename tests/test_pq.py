@@ -222,3 +222,22 @@ def test_quantize_batch_kernel_method():
     pq = make_test_pq()
     with pytest.raises(ValueError, match="unknown quantize method"):
         pq.quantize_batch(ref_vectors(), method="nope")
+
+
+def test_trait_style_training_surface():
+    """Reference-shaped marker-type API: Pq/Opq/GaussianOpq trainers with
+    the reference's argument order, entropy-seeded or keyed."""
+    from reductive_tpu.pq import GaussianOpq, Opq, PqTrainer
+
+    x = jax.random.uniform(jax.random.PRNGKey(42), (256, 20), dtype=jnp.float32)
+
+    def loss(pq):
+        rec = pq.reconstruct_batch(pq.quantize_batch(x))
+        return float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
+
+    key = jax.random.PRNGKey(42)
+    assert loss(PqTrainer.train_pq_using(10, 7, 10, 1, x, key)) < 0.08
+    assert loss(Opq.train_pq_using(10, 7, 10, 1, x, key)) < 0.10
+    assert loss(GaussianOpq.train_pq_using(10, 7, 10, 1, x, key)) < 0.12
+    # Entropy-seeded entry trains successfully (non-deterministic seed).
+    assert loss(PqTrainer.train_pq(10, 7, 10, 1, x)) < 0.09
