@@ -156,4 +156,16 @@ def search(
         )
     if method not in ("einsum", "kernel"):
         raise ValueError(f"unknown search method {method!r}")
+    # The ADC kernel keeps its table splits resident in VMEM, which caps
+    # the per-call query batch; queries are independent, so batch them.
+    if method == "kernel" and queries.shape[0] > 256:
+        parts = [
+            _search_jit(pq, queries[i : i + 256], codes, top_k, chunk_size,
+                        method, splits)
+            for i in range(0, queries.shape[0], 256)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
+        )
     return _search_jit(pq, queries, codes, top_k, chunk_size, method, splits)

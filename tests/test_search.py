@@ -142,3 +142,37 @@ def test_search_kernel_method_same_topk():
     neg, idx = jax.lax.top_k(-scores_k, 5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(-neg), np.asarray(d_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_search_kernel_auto_batches_large_query_sets():
+    """method='kernel' transparently batches query sets beyond the VMEM
+    cap; results match the einsum path per query."""
+    m, k, ds, n, nq = 2, 8, 4, 300, 300
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(8), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    codes = pq.quantize_batch(x)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    import unittest.mock as mock
+    from reductive_tpu.ops.adc import adc_scores_kernel
+    from reductive_tpu.search import adc_scores
+
+    # On CPU, reroute the kernel scorer to the einsum scorer (interpret
+    # mode is too slow for 2x300 queries); the point under test is the
+    # host-side query batching in search().
+    from reductive_tpu.search import _search_jit
+
+    try:
+        with mock.patch(
+            "reductive_tpu.ops.adc.adc_scores_kernel",
+            lambda tables, codes, splits: adc_scores(tables, codes, chunk_size=128),
+        ):
+            d_k, i_k = search(pq, queries, codes, top_k=5, method="kernel")
+    finally:
+        # The mocked scorer was traced into the jit cache for
+        # method="kernel"; drop it so later calls get the real kernel.
+        _search_jit.clear_cache()
+    d_e, i_e = search(pq, queries, codes, top_k=5)
+    np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_e))
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_e), rtol=1e-5)
