@@ -145,11 +145,32 @@ def pq_assign_stats(
             f"Quantizer and vector length mismatch: input has {d} columns, "
             f"quantizer reconstructs {m * ds}"
         )
+    kp_probe = _round_up(k, 8)
+    try:
+        block_n, groups = _choose_stats_tiling(
+            m, kp_probe, d, jnp.dtype(compute_dtype).itemsize
+        )
+    except ValueError:
+        if m < 2:
+            raise
+        # The (m*kp, d) accumulator outgrew VMEM (large k*d): split the
+        # subquantizer axis — each half reads only its own column slice,
+        # so the only cost is a second pass over x (bandwidth-cheap).
+        h = m // 2
+        s1, c1 = pq_assign_stats(
+            codebooks[:h], x[:, : h * ds],
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+        s2, c2 = pq_assign_stats(
+            codebooks[h:], x[:, h * ds :],
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+        return (
+            jnp.concatenate([s1, s2], axis=0),
+            jnp.concatenate([c1, c2], axis=0),
+        )
     W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype, scale=2.0)
     Wt = W.T
-    block_n, groups = _choose_stats_tiling(
-        m, kp, d, jnp.dtype(compute_dtype).itemsize
-    )
     idx_bits = max(1, (kp - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
     matmul_precision = (

@@ -207,3 +207,23 @@ def test_search_rejects_unknown_method():
     with pytest.raises(ValueError, match="unknown search method"):
         search(pq, jnp.ones((1, 4)), jnp.zeros((5, 2), jnp.int32), top_k=1,
                method="kernels")
+
+
+def test_stats_kernel_m_split_for_large_codebooks():
+    """When the (m*kp, d) accumulator outgrows VMEM (large k*d), the stats
+    kernel recursively splits the subquantizer axis; statistics stay exact."""
+    m, k, ds, n = 4, 2048, 16, 400
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, m * ds), dtype=jnp.float32)
+    cb = jax.random.normal(jax.random.PRNGKey(1), (m, k, ds), dtype=jnp.float32)
+    sums, counts = pq_assign_stats(cb, x, interpret=True)
+    codes = primitives.quantize_batch(cb, x, dtype=jnp.int32)
+    onehot = jax.nn.one_hot(codes.T, k, dtype=jnp.float32)
+    xs_m = jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(counts), np.asarray(jnp.sum(onehot, axis=1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums),
+        np.asarray(jnp.einsum("mck,mcs->mks", onehot, xs_m, precision="highest")),
+        rtol=1e-5, atol=1e-4,
+    )
