@@ -112,6 +112,64 @@ def adc_scores(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("top_k", "chunk", "method", "splits")
+)
+def _search_streamed_jit(
+    pq: Pq, queries: Array, codes: Array, top_k: int, chunk: int,
+    method: str, splits: int,
+):
+    """Top-k search without materializing the ``(nq, n)`` score matrix:
+    a ``lax.scan`` over corpus chunks keeps only a running ``(nq, top_k)``
+    best-so-far carry — O(nq * (chunk + top_k)) memory regardless of
+    corpus size (6.4 GB of scores at 16 queries x 100M codes otherwise).
+    """
+    tables = adc_tables(pq, queries)
+    nq = queries.shape[0]
+    n = codes.shape[0]
+
+    def score(codes_chunk):
+        if method == "kernel":
+            from .ops.adc import adc_scores_kernel
+
+            return adc_scores_kernel(tables, codes_chunk, splits=splits)
+        return _chunk_scores(tables.reshape(nq, -1), codes_chunk, tables.shape[2])
+
+    def merge(carry, chunk_scores, offset):
+        best_negd, best_idx = carry
+        negd, idx = jax.lax.top_k(-chunk_scores, min(top_k, chunk_scores.shape[1]))
+        idx = idx + offset
+        cat_negd = jnp.concatenate([best_negd, negd], axis=1)
+        cat_idx = jnp.concatenate([best_idx, idx], axis=1)
+        new_negd, sel = jax.lax.top_k(cat_negd, top_k)
+        new_idx = jnp.take_along_axis(cat_idx, sel, axis=1)
+        return new_negd, new_idx
+
+    init = (
+        jnp.full((nq, top_k), -jnp.inf, jnp.float32),
+        jnp.zeros((nq, top_k), jnp.int32),
+    )
+    n_main = (n // chunk) * chunk
+    carry = init
+    if n_main:
+        def body(carry, args):
+            codes_chunk, offset = args
+            return merge(carry, score(codes_chunk), offset), None
+
+        carry, _ = jax.lax.scan(
+            body,
+            init,
+            (
+                codes[:n_main].reshape(-1, chunk, codes.shape[1]),
+                jnp.arange(0, n_main, chunk, dtype=jnp.int32),
+            ),
+        )
+    if n_main < n:
+        carry = merge(carry, score(codes[n_main:]), jnp.int32(n_main))
+    best_negd, best_idx = carry
+    return -best_negd, best_idx
+
+
+@functools.partial(
     jax.jit, static_argnames=("top_k", "chunk_size", "method", "splits")
 )
 def _search_jit(
@@ -138,6 +196,7 @@ def search(
     chunk_size: int = 16384,
     method: str = "einsum",
     splits: int = 2,
+    stream_chunk: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` nearest encoded vectors per query by ADC.
 
@@ -147,6 +206,11 @@ def search(
     (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) — ~1.4x faster at 16
     queries and ~8x more efficient per query at 128 (full MXU lane
     utilization); ``splits`` trades table precision for speed there.
+
+    ``stream_chunk`` (e.g. ``1 << 20``) switches to the scan-based
+    streamed search: the ``(nq, n)`` score matrix never materializes —
+    only a running ``(nq, top_k)`` carry — so corpora of hundreds of
+    millions of codes search in O(nq * stream_chunk) memory.
     """
     if top_k <= 0:
         raise ValueError("top_k must be >= 1")
@@ -156,16 +220,21 @@ def search(
         )
     if method not in ("einsum", "kernel"):
         raise ValueError(f"unknown search method {method!r}")
+
+    if stream_chunk is not None:
+        one = lambda q: _search_streamed_jit(
+            pq, q, codes, top_k, stream_chunk, method, splits
+        )
+    else:
+        one = lambda q: _search_jit(
+            pq, q, codes, top_k, chunk_size, method, splits
+        )
     # The ADC kernel keeps its table splits resident in VMEM, which caps
     # the per-call query batch; queries are independent, so batch them.
     if method == "kernel" and queries.shape[0] > 256:
-        parts = [
-            _search_jit(pq, queries[i : i + 256], codes, top_k, chunk_size,
-                        method, splits)
-            for i in range(0, queries.shape[0], 256)
-        ]
+        parts = [one(queries[i : i + 256]) for i in range(0, queries.shape[0], 256)]
         return (
             jnp.concatenate([p[0] for p in parts]),
             jnp.concatenate([p[1] for p in parts]),
         )
-    return _search_jit(pq, queries, codes, top_k, chunk_size, method, splits)
+    return one(queries)

@@ -176,3 +176,19 @@ def test_search_kernel_auto_batches_large_query_sets():
     d_e, i_e = search(pq, queries, codes, top_k=5)
     np.testing.assert_array_equal(np.asarray(i_k), np.asarray(i_e))
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_e), rtol=1e-5)
+
+
+def test_search_streamed_matches_full():
+    """stream_chunk search (running top-k carry, no (nq, n) score matrix)
+    returns exactly the full-matrix results, including the tail chunk."""
+    m, k, ds, n, nq = 4, 16, 4, 1111, 6
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(12), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    codes = pq.quantize_batch(x)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    d_full, i_full = search(pq, queries, codes, top_k=7)
+    d_str, i_str = search(pq, queries, codes, top_k=7, stream_chunk=256)
+    np.testing.assert_array_equal(np.asarray(i_str), np.asarray(i_full))
+    np.testing.assert_allclose(np.asarray(d_str), np.asarray(d_full), rtol=1e-6)
