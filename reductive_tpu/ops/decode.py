@@ -105,6 +105,20 @@ def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
     out_ref[:] = acc
 
 
+def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
+    """Weight-only int8: the multi-hot is exact in int8, the codebook is
+    per-column symmetric-quantized once on the host side; int32
+    accumulation then a per-column dequant scale."""
+    onehot = lane_multihot(codes_ref[:], m, kp, jnp.int8)
+    acc = jax.lax.dot_general(
+        onehot,
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * scale_ref[:]
+
+
 @functools.partial(
     jax.jit, static_argnames=("splits", "block_n", "interpret")
 )
@@ -112,7 +126,7 @@ def pq_decode(
     codebooks: Array,
     codes: Array,
     *,
-    splits: int = 3,
+    splits: int | str = 3,
     block_n: int | None = None,
     interpret: bool = False,
 ) -> Array:
@@ -120,8 +134,11 @@ def pq_decode(
     kernel.
 
     ``splits=3`` (default) is **bit-exact** against the f32 gather path;
-    ``splits=1`` rounds the codebook to bfloat16 for maximum throughput
-    (serving mode).  Counterpart of the reference's ``reconstruct_batch``
+    ``splits=1`` rounds the codebook to bfloat16; ``splits="int8"`` is the
+    weight-only int8 serving mode — per-column symmetric quantization
+    gives the same ~2^-8 relative precision as the bf16 single pass but
+    runs the matmul at int8 rate (measured 108.9M vs 90.9M vec/s at
+    1M×128).  Counterpart of the reference's ``reconstruct_batch``
     (``src/pq/primitives.rs:150-173``).
     """
     m, k, ds = codebooks.shape
@@ -133,19 +150,48 @@ def pq_decode(
             f"{codes.shape} vs m={m}"
         )
     kp = _round_up(k, 8)
-    W = split_codebook_bf16(codebooks, kp, splits)
+    if splits == "int8":
+        Wf = jnp.zeros((m * kp, d), jnp.float32)
+        for j in range(m):
+            Wf = jax.lax.dynamic_update_slice(
+                Wf, codebooks[j].astype(jnp.float32), (j * kp, j * ds)
+            )
+        scale = jnp.max(jnp.abs(Wf), axis=0) / 127.0  # per output column
+        W = jnp.round(Wf / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+        n_splits, w_itemsize = 1, 1
+    else:
+        W = split_codebook_bf16(codebooks, kp, splits)
+        n_splits, w_itemsize = splits, 2
 
     if block_n is None:
         # onehot (bn, m*kp) bf16 is the dominant transient; keep it ~4 MB.
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
     block_n = fit_block_n(
         block_n,
-        resident=splits * m * kp * d * 2,           # W splits
-        per_row=m * kp * 2 + d * 8 + m * 4,         # onehot + acc/out + codes
+        resident=n_splits * m * kp * d * w_itemsize,  # resident weights
+        per_row=m * kp * 2 + d * 8 + m * 4,           # onehot + acc/out + codes
         what=f"m={m}, k~{kp}, d={d}, splits={splits}",
         fallback="use the gather/onehot path "
                  "(reductive_tpu.pq.primitives.reconstruct_batch)",
     )
+
+    if splits == "int8":
+        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp)
+        out = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(n, block_n),),
+            in_specs=[
+                pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+            interpret=interpret,
+        )(codes.astype(jnp.int32), W, scale[None, :])
+        return out.astype(codebooks.dtype)
 
     kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

@@ -124,17 +124,17 @@ class Pq:
 
         ``method`` forwards to
         :func:`reductive_tpu.pq.primitives.reconstruct_batch`
-        (``auto``/``onehot``/``gather`` — all bit-identical), plus two
+        (``auto``/``onehot``/``gather`` — all bit-identical), plus three
         fused-kernel routes: ``"kernel"`` (bit-exact 3-split decode
-        kernel) and ``"kernel-fast"`` (single bf16 pass, ~2x faster,
-        reconstructions rounded to bf16 precision — the serving mode).
+        kernel), ``"kernel-fast"`` (single bf16 pass), and
+        ``"kernel-int8"`` (weight-only int8 — fastest, same ~2^-8
+        precision as bf16).
         """
-        if method in ("kernel", "kernel-fast"):
+        if method in ("kernel", "kernel-fast", "kernel-int8"):
             from ..ops.decode import pq_decode
 
-            out = pq_decode(
-                self.codebooks, codes, splits=3 if method == "kernel" else 1
-            )
+            splits = {"kernel": 3, "kernel-fast": 1, "kernel-int8": "int8"}[method]
+            out = pq_decode(self.codebooks, codes, splits=splits)
         else:
             out = primitives.reconstruct_batch(self.codebooks, codes, method=method)
         if self.projection is not None:

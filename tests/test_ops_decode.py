@@ -67,3 +67,21 @@ def test_model_reconstruct_method_kernel():
 
     got = dk(cb, codes, splits=3, interpret=True) @ pq.projection.T
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_decode_kernel_int8_mode():
+    """Weight-only int8 decode: per-column symmetric quantization keeps
+    relative error at the bf16-single-pass level (~2^-8)."""
+    m, k, ds, n = 8, 64, 4, 600
+    kc, kx = jax.random.split(jax.random.PRNGKey(3))
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+
+    exact = primitives.reconstruct_batch(cb, codes, method="gather")
+    got = pq_decode(cb, codes, splits="int8", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=2e-2, atol=2e-2)
+    # error comparable to the bf16 single-split path
+    fast = pq_decode(cb, codes, splits=1, interpret=True)
+    err_int8 = float(jnp.max(jnp.abs(got - exact)))
+    err_bf16 = float(jnp.max(jnp.abs(fast - exact)))
+    assert err_int8 < 3 * err_bf16
