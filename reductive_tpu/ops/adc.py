@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .assign import _round_up
-from .decode import fit_block_n, lane_multihot, split_bf16
+from .decode import _decode_kernel_int8, fit_block_n, lane_multihot, split_bf16
 
 __all__ = ["adc_scores_kernel"]
 
@@ -64,7 +64,9 @@ def adc_scores_kernel(
     table-representation error (differences vs the XLA path are f32
     summation order, a few ulps); ``splits=2`` (default) adds ~2^-18
     relative table error — far below any meaningful distance gap;
-    ``splits=1`` is the fastest serving mode (~2^-9).
+    ``splits=1`` is a fast serving mode (~2^-9); ``splits="int8"`` is the
+    classic 8-bit-LUT serving mode — per-query symmetric table
+    quantization, int8-rate matmul, int32 accumulation.
     """
     nq, m, k = tables.shape
     n = codes.shape[0]
@@ -74,21 +76,47 @@ def adc_scores_kernel(
         )
     kp = _round_up(k, 8)
     # (m*kp, nq) dense table matrix, padded centroids scoring 0 (never hit).
-    T = jnp.zeros((m, kp, nq), dtype=jnp.float32)
-    T = T.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2))
-    T = split_bf16(T.reshape(m * kp, nq), splits)  # (splits, m*kp, nq)
+    Tf = jnp.zeros((m, kp, nq), dtype=jnp.float32)
+    Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2)).reshape(m * kp, nq)
+    if splits == "int8":
+        scale = jnp.max(jnp.abs(Tf), axis=0) / 127.0  # per query
+        T = jnp.round(Tf / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+        n_splits, t_itemsize = 1, 1
+    else:
+        T = split_bf16(Tf, splits)  # (splits, m*kp, nq)
+        n_splits, t_itemsize = splits, 2
 
     if block_n is None:
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
     nqp = max(nq, 128)
     block_n = fit_block_n(
         block_n,
-        resident=splits * m * kp * nqp * 2,             # table splits
+        resident=n_splits * m * kp * nqp * t_itemsize,  # resident tables
         per_row=m * kp * 2 + nqp * 4 + m * 4,           # multihot + out + codes
         what=f"nq={nq}, m={m}, k~{kp}, splits={splits}",
         fallback="batch the queries (e.g. <=256 per call) or use the "
                  "einsum scorer (reductive_tpu.search.adc_scores)",
     )
+
+    if splits == "int8":
+        # Identical computation to the int8 decode kernel: multi-hot @
+        # quantized matrix, int32 accumulate, per-column dequant.
+        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp)
+        out = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(n, block_n),),
+            in_specs=[
+                pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m * kp, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_n, nq), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, nq), jnp.float32),
+            interpret=interpret,
+        )(codes.astype(jnp.int32), T, scale[None, :])
+        return out.T
 
     kernel = functools.partial(_adc_kernel, m=m, kp=kp, splits=splits)
     out = pl.pallas_call(

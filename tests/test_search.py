@@ -192,3 +192,28 @@ def test_search_streamed_matches_full():
     d_str, i_str = search(pq, queries, codes, top_k=7, stream_chunk=256)
     np.testing.assert_array_equal(np.asarray(i_str), np.asarray(i_full))
     np.testing.assert_allclose(np.asarray(d_str), np.asarray(d_full), rtol=1e-6)
+
+
+def test_adc_kernel_int8_mode():
+    """8-bit-LUT ADC (per-query symmetric table quantization): scores
+    within ~1% and near-identical rankings."""
+    from reductive_tpu.ops.adc import adc_scores_kernel
+
+    m, k, ds, n, nq = 8, 32, 4, 700, 7
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(5), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    tables = adc_tables(pq, queries)
+    ref = adc_scores(tables, codes, chunk_size=256)
+    got = adc_scores_kernel(tables, codes, splits="int8", interpret=True)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.02
+    _, i_ref = jax.lax.top_k(-ref, 5)
+    _, i_got = jax.lax.top_k(-got, 5)
+    overlap = np.mean([
+        len(set(np.asarray(i_ref[q]).tolist()) & set(np.asarray(i_got[q]).tolist())) / 5
+        for q in range(nq)
+    ])
+    assert overlap > 0.85
