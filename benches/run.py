@@ -125,7 +125,7 @@ def bench_config2(quick):
         from reductive_tpu.ops import pq_decode
 
         codes = fast(cb, x)
-        for splits, name in ((3, "exact"), (1, "fast")):
+        for splits, name in ((3, "exact"), (1, "fast"), ("int8", "int8")):
             dec = lambda: pq_decode(cb, codes, splits=splits)
             dt = timeit(lambda: dec(), iters=8)
             record(f"config2_decode_1Mx128_kernel_{name}", dt,
@@ -224,6 +224,11 @@ def bench_config5(quick):
         fnk = lambda: search(pq, queries, codes_j, top_k=10, method="kernel")[1]
         dt = timeit(lambda: fnk(), iters=3)
         record("config5_adc_search_16q_kernel", dt,
+               extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
+        fn8 = lambda: search(pq, queries, codes_j, top_k=10, method="kernel",
+                             splits="int8")[1]
+        dt = timeit(lambda: fn8(), iters=3)
+        record("config5_adc_search_16q_int8lut", dt,
                extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
 
 
