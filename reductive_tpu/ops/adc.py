@@ -30,7 +30,23 @@ from jax.experimental.pallas import tpu as pltpu
 from .assign import _round_up
 from .decode import _decode_kernel_int8, fit_block_n, lane_multihot, split_bf16
 
-__all__ = ["adc_scores_kernel"]
+__all__ = ["adc_scores_kernel", "max_query_batch"]
+
+
+def max_query_batch(m: int, k: int, splits=2, budget: int = 13 * (1 << 20)) -> int:
+    """Largest per-call query batch whose resident tables fit the kernel's
+    VMEM budget — the same arithmetic ``fit_block_n`` applies, solved for
+    ``nq``.  ``search()`` uses this to auto-batch large query sets."""
+    kp = _round_up(k, 8)
+    n_splits, itemsize = (1, 1) if splits == "int8" else (splits, 2)
+    for nq in (256, 128, 64, 32, 16, 8):
+        nqp = max(nq, 128)
+        need = n_splits * m * kp * nqp * itemsize + 128 * (
+            m * kp * 2 + nqp * 4 + m * 4
+        )
+        if need <= budget:
+            return nq
+    return 4
 
 
 def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits):
@@ -75,14 +91,30 @@ def adc_scores_kernel(
             f"codes have shape {codes.shape}, expected (n, {m})"
         )
     kp = _round_up(k, 8)
-    # (m*kp, nq) dense table matrix, padded centroids scoring 0 (never hit).
-    Tf = jnp.zeros((m, kp, nq), dtype=jnp.float32)
-    Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2)).reshape(m * kp, nq)
     if splits == "int8":
-        scale = jnp.max(jnp.abs(Tf), axis=0) / 127.0  # per query
-        T = jnp.round(Tf / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+        # Affine per-(query, subquantizer) quantization over [min, max]:
+        # tables are non-negative squared distances with a large constant
+        # offset per query, so symmetric [-max, max] would waste the sign
+        # bit and half the resolution.  Subtracting the per-table minimum
+        # shifts every score by a per-query constant (sum of m minima) —
+        # added back exactly in the dequant — and ranking is unchanged.
+        t_min = jnp.min(tables, axis=2, keepdims=True)  # (nq, m, 1)
+        t_max = jnp.max(tables, axis=2, keepdims=True)
+        # One shared scale per query (the dequant is a single multiply);
+        # per-subquantizer minima fold into the additive offset exactly.
+        scale = jnp.maximum(
+            jnp.max((t_max - t_min)[:, :, 0], axis=1) / 255.0, 1e-30
+        )  # (nq,)
+        q = jnp.round((tables - t_min) / scale[:, None, None]) - 128.0
+        Ti = jnp.full((m, kp, nq), -128.0, jnp.float32)
+        Ti = Ti.at[:, :k, :].set(jnp.moveaxis(q, 0, 2))
+        T = jnp.clip(Ti, -128, 127).reshape(m * kp, nq).astype(jnp.int8)
+        offset = jnp.sum(t_min[:, :, 0], axis=1) + 128.0 * m * scale  # (nq,)
+        scale_offset = jnp.stack([scale, offset])  # (2, nq)
         n_splits, t_itemsize = 1, 1
     else:
+        Tf = jnp.zeros((m, kp, nq), dtype=jnp.float32)
+        Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2)).reshape(m * kp, nq)
         T = split_bf16(Tf, splits)  # (splits, m*kp, nq)
         n_splits, t_itemsize = splits, 2
 
@@ -108,14 +140,14 @@ def adc_scores_kernel(
             in_specs=[
                 pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m * kp, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (block_n, nq), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, nq), jnp.float32),
             interpret=interpret,
-        )(codes.astype(jnp.int32), T, scale[None, :])
+        )(codes.astype(jnp.int32), T, scale_offset)
         return out.T
 
     kernel = functools.partial(_adc_kernel, m=m, kp=kp, splits=splits)

@@ -78,18 +78,24 @@ def split_bf16(W: Array, splits: int) -> Array:
     return jnp.stack(parts)
 
 
-def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
-    """Pack ``(m, k, ds)`` codebooks into ``splits`` stacked bfloat16
-    block-diagonal ``(m*kp, d)`` matrices whose f32 sum is exactly the
-    original (for ``splits=3``)."""
+def pack_block_diag_f32(codebooks: Array, kp: int) -> Array:
+    """The block-diagonal ``(m*kp, d)`` f32 codebook matrix (centroid rows
+    padded to ``kp``, zeros off-diagonal) shared by the decode weight
+    splits and the int8 weight quantizer."""
     m, k, ds = codebooks.shape
-    d = m * ds
-    W = jnp.zeros((m * kp, d), dtype=jnp.float32)
+    W = jnp.zeros((m * kp, m * ds), dtype=jnp.float32)
     for j in range(m):
         W = jax.lax.dynamic_update_slice(
             W, codebooks[j].astype(jnp.float32), (j * kp, j * ds)
         )
-    return split_bf16(W, splits)  # (splits, m*kp, d)
+    return W
+
+
+def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
+    """Pack ``(m, k, ds)`` codebooks into ``splits`` stacked bfloat16
+    block-diagonal ``(m*kp, d)`` matrices whose f32 sum is exactly the
+    original (for ``splits=3``)."""
+    return split_bf16(pack_block_diag_f32(codebooks, kp), splits)
 
 
 def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
@@ -106,9 +112,11 @@ def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
 
 
 def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
-    """Weight-only int8: the multi-hot is exact in int8, the codebook is
-    per-column symmetric-quantized once on the host side; int32
-    accumulation then a per-column dequant scale."""
+    """Weight-only int8: the multi-hot is exact in int8, the quantized
+    matrix is built once on the host side; int32 accumulation then a
+    per-column affine dequant (``scale_ref`` row 0 = scale, row 1 =
+    additive offset — zero for symmetric decode weights, ``m * min`` for
+    affine ADC tables)."""
     onehot = lane_multihot(codes_ref[:], m, kp, jnp.int8)
     acc = jax.lax.dot_general(
         onehot,
@@ -116,7 +124,7 @@ def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out_ref[:] = acc.astype(jnp.float32) * scale_ref[:]
+    out_ref[:] = acc.astype(jnp.float32) * scale_ref[0:1, :] + scale_ref[1:2, :]
 
 
 @functools.partial(
@@ -134,12 +142,13 @@ def pq_decode(
     kernel.
 
     ``splits=3`` (default) is **bit-exact** against the f32 gather path;
-    ``splits=1`` rounds the codebook to bfloat16; ``splits="int8"`` is the
-    weight-only int8 serving mode — per-column symmetric quantization
-    gives the same ~2^-8 relative precision as the bf16 single pass but
-    runs the matmul at int8 rate (measured 108.9M vs 90.9M vec/s at
-    1M×128).  Counterpart of the reference's ``reconstruct_batch``
-    (``src/pq/primitives.rs:150-173``).
+    ``splits=1`` rounds the codebook to bfloat16 (~2^-9 relative error
+    per entry); ``splits="int8"`` is the weight-only int8 serving mode —
+    per-column symmetric quantization, so absolute error is ~2^-8 of each
+    *column's max* (equal to the bf16 pass for well-scaled codebooks, but
+    worse for columns with wide dynamic range) with the matmul at int8
+    rate (measured 108.9M vs 90.9M vec/s at 1M×128).  Counterpart of the
+    reference's ``reconstruct_batch`` (``src/pq/primitives.rs:150-173``).
     """
     m, k, ds = codebooks.shape
     d = m * ds
@@ -151,13 +160,10 @@ def pq_decode(
         )
     kp = _round_up(k, 8)
     if splits == "int8":
-        Wf = jnp.zeros((m * kp, d), jnp.float32)
-        for j in range(m):
-            Wf = jax.lax.dynamic_update_slice(
-                Wf, codebooks[j].astype(jnp.float32), (j * kp, j * ds)
-            )
+        Wf = pack_block_diag_f32(codebooks, kp)
         scale = jnp.max(jnp.abs(Wf), axis=0) / 127.0  # per output column
         W = jnp.round(Wf / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+        scale_offset = jnp.stack([scale, jnp.zeros_like(scale)])  # (2, d)
         n_splits, w_itemsize = 1, 1
     else:
         W = split_codebook_bf16(codebooks, kp, splits)
@@ -183,14 +189,14 @@ def pq_decode(
             in_specs=[
                 pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
             interpret=interpret,
-        )(codes.astype(jnp.int32), W, scale[None, :])
+        )(codes.astype(jnp.int32), W, scale_offset)
         return out.astype(codebooks.dtype)
 
     kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)

@@ -117,9 +117,7 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
     return eigen_vectors[:, permutation]
 
 
-def polar_orthogonalize(
-    M: Array, iterations: int = 40, svd_fallback: bool = True
-) -> Array:
+def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
     """The orthogonal polar factor of a full-rank square matrix via
     Newton–Schulz iteration — the Procrustes solution ``R = U V^T`` of
     ``svd(M)`` (Ge et al., 2013, Eq. 7) without an SVD.
@@ -131,10 +129,9 @@ def polar_orthogonalize(
     anyway.  Everything is a ``(d, d)`` MXU matmul, so on TPU this
     replaces an ~11 ms ``jnp.linalg.svd`` (d = 128) with microseconds of
     matmuls — the polar factor is unique for full-rank input, so the
-    result matches the SVD route to float tolerance.  A runtime
-    orthogonality check falls back to the SVD for rank-deficient /
-    extremely ill-conditioned input (e.g. ``m * k < d``, where the
-    Procrustes cross-matrix is structurally singular).
+    result matches ``U V^T`` from an SVD to float tolerance.  A runtime
+    orthogonality check re-orthonormalizes rank-deficient /
+    ill-conditioned results through a QR completion (see inline comment).
     """
     X = M / jnp.linalg.norm(M)
 
@@ -143,25 +140,26 @@ def polar_orthogonalize(
         return 1.5 * X - 0.5 * jnp.dot(XXt, X, precision="highest")
 
     R = jax.lax.fori_loop(0, iterations, body, X)
-    if not svd_fallback:
-        return R
-    # Rank-deficient M (structural whenever m*k < d: rank(X_hat) <= m*k)
-    # leaves null-space singular values at zero — R would not be
-    # orthogonal.  Guard with an orthogonality check and fall back to the
-    # SVD route; lax.cond executes only the taken branch, so the SVD
-    # price is paid only when actually needed.  Callers that statically
-    # know M is full-rank (m*k >= d) pass svd_fallback=False to keep the
-    # slow-to-compile TPU SVD out of the graph entirely.
+    # Rank-deficient M — structural when m*k < d (rank(X_hat) <= m*k),
+    # but also possible for data reasons (n < d, degenerate columns,
+    # zero-filled empty clusters) — leaves null-space singular values at
+    # zero, so R would not be orthogonal.  The guard is always on:
+    # orthonormality is the hard requirement (the model applies R^T as
+    # the inverse), and the completion of deficient directions is
+    # arbitrary for Procrustes anyway.  QR re-orthonormalizes the
+    # Newton-Schulz output (agreeing with it up to f32 noise when R is
+    # already orthogonal) and, unlike jnp.linalg.svd, compiles cheaply on
+    # TPU (the SVD branch alone took an OPQ trainer's compile from 25 s
+    # to 352 s); two polish steps tighten QR's result to f32 eps.
     err = jnp.max(jnp.abs(jnp.dot(R.T, R, precision="highest") - jnp.eye(M.shape[0])))
 
-    def svd_route(_):
-        u, _, vt = jnp.linalg.svd(M, full_matrices=False)
-        R0 = u @ vt
-        # TPU's f32 SVD leaves ~1e-3 orthogonality error; two polish
-        # steps converge it quadratically to f32 eps.
-        return jax.lax.fori_loop(0, 2, body, R0)
+    def qr_route(R):
+        q, r = jnp.linalg.qr(R)
+        # Fix QR's sign convention so q stays close to R (diag(r) >= 0).
+        q = q * jnp.where(jnp.diagonal(r) < 0, -1.0, 1.0)[None, :]
+        return jax.lax.fori_loop(0, 2, body, q)
 
-    return jax.lax.cond(err < 1e-3, lambda _: R, svd_route, operand=None)
+    return jax.lax.cond(err < 1e-3, lambda R: R, qr_route, R)
 
 
 @jax.jit
@@ -183,7 +181,6 @@ def _alternate(
     """
     m, k, ds = codebooks.shape
     n = x.shape[0]
-    n_dim = m * ds
 
     def body(_, carry):
         projection, codebooks = carry
@@ -193,7 +190,7 @@ def _alternate(
         codes = primitives.quantize_batch(codebooks, rx, dtype=jnp.int32)
         reconstructed = primitives.reconstruct_batch(codebooks, codes)
         M = jnp.dot(x.T, reconstructed, precision="highest")
-        return polar_orthogonalize(M, svd_fallback=m * k < n_dim), codebooks
+        return polar_orthogonalize(M), codebooks
 
     return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
 
@@ -339,10 +336,7 @@ def _opq_iteration_chunked(
         M, _ = cross_body(M, x[n_main:])
     if axis_name is not None:
         M = jax.lax.psum(M, axis_name)
-    return (
-        polar_orthogonalize(M.astype(x.dtype), svd_fallback=m * k < d),
-        new_codebooks,
-    )
+    return polar_orthogonalize(M.astype(x.dtype)), new_codebooks
 
 
 @partial(jax.jit, static_argnames=("k", "ds"))

@@ -112,11 +112,11 @@ def adc_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "chunk", "method", "splits")
+    jax.jit, static_argnames=("top_k", "chunk", "chunk_size", "method", "splits")
 )
 def _search_streamed_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk: int,
-    method: str, splits: int,
+    chunk_size: int, method: str, splits: int,
 ):
     """Top-k search without materializing the ``(nq, n)`` score matrix:
     a ``lax.scan`` over corpus chunks keeps only a running ``(nq, top_k)``
@@ -132,7 +132,9 @@ def _search_streamed_jit(
             from .ops.adc import adc_scores_kernel
 
             return adc_scores_kernel(tables, codes_chunk, splits=splits)
-        return _chunk_scores(tables.reshape(nq, -1), codes_chunk, tables.shape[2])
+        # adc_scores keeps its own inner chunking, so the one-hot
+        # transient stays bounded even for large stream chunks.
+        return adc_scores(tables, codes_chunk, chunk_size=chunk_size)
 
     def merge(carry, chunk_scores, offset):
         best_negd, best_idx = carry
@@ -223,18 +225,23 @@ def search(
 
     if stream_chunk is not None:
         one = lambda q: _search_streamed_jit(
-            pq, q, codes, top_k, stream_chunk, method, splits
+            pq, q, codes, top_k, stream_chunk, chunk_size, method, splits
         )
     else:
         one = lambda q: _search_jit(
             pq, q, codes, top_k, chunk_size, method, splits
         )
     # The ADC kernel keeps its table splits resident in VMEM, which caps
-    # the per-call query batch; queries are independent, so batch them.
-    if method == "kernel" and queries.shape[0] > 256:
-        parts = [one(queries[i : i + 256]) for i in range(0, queries.shape[0], 256)]
-        return (
-            jnp.concatenate([p[0] for p in parts]),
-            jnp.concatenate([p[1] for p in parts]),
-        )
+    # the per-call query batch (derived from the kernel's own VMEM-fit
+    # arithmetic); queries are independent, so batch them.
+    if method == "kernel":
+        from .ops.adc import max_query_batch
+
+        qb = max_query_batch(pq.n_subquantizers, pq.n_quantizer_centroids, splits)
+        if queries.shape[0] > qb:
+            parts = [one(queries[i : i + qb]) for i in range(0, queries.shape[0], qb)]
+            return (
+                jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]),
+            )
     return one(queries)

@@ -209,13 +209,27 @@ def test_search_rejects_unknown_method():
                method="kernels")
 
 
-def test_stats_kernel_m_split_for_large_codebooks():
+def test_stats_kernel_m_split_for_large_codebooks(monkeypatch):
     """When the (m*kp, d) accumulator outgrows VMEM (large k*d), the stats
-    kernel recursively splits the subquantizer axis; statistics stay exact."""
+    kernel recursively splits the subquantizer axis; statistics stay
+    exact.  The tiling chooser is forced to fail above m=2 so the split
+    path runs deterministically regardless of the real VMEM budget."""
+    import reductive_tpu.ops.stats as stats_mod
+
     m, k, ds, n = 4, 2048, 16, 400
+    orig = stats_mod._choose_stats_tiling
+
+    def forced(m_, kp_, d_, itemsize):
+        if m_ > 2:
+            raise ValueError("forced split for test")
+        return orig(m_, kp_, d_, itemsize)
+
+    monkeypatch.setattr(stats_mod, "_choose_stats_tiling", forced)
+    pq_assign_stats.clear_cache()  # drop traces using the real chooser
     x = jax.random.normal(jax.random.PRNGKey(0), (n, m * ds), dtype=jnp.float32)
     cb = jax.random.normal(jax.random.PRNGKey(1), (m, k, ds), dtype=jnp.float32)
     sums, counts = pq_assign_stats(cb, x, interpret=True)
+    pq_assign_stats.clear_cache()  # don't leak forced-chooser traces
     codes = primitives.quantize_batch(cb, x, dtype=jnp.int32)
     onehot = jax.nn.one_hot(codes.T, k, dtype=jnp.float32)
     xs_m = jnp.moveaxis(x.reshape(n, m, ds), 1, 0)
