@@ -149,14 +149,23 @@ def _model_fingerprint(pq: Pq, reader, batch_size: int, dtype) -> str:
         h.update(np.asarray(pq.projection).tobytes())
     h.update(f"{reader.n}:{batch_size}:{np.dtype(dtype).name}".encode())
     # Corpus identity: a regenerated same-length corpus must not resume a
-    # stale prefix.  Sample the file's head and tail plus its size/mtime
-    # when the reader is file-backed.
+    # stale prefix.  Content-based only — mtime is deliberately excluded so
+    # an rsync/copy of an identical file (which may not preserve
+    # timestamps) keeps its completed progress.  Size plus head, tail, and
+    # a few fixed interior samples catch regeneration, including
+    # middle-of-file changes that preserve the length.
     path = getattr(reader, "path", None)
     if path is not None and os.path.exists(path):
         st = os.stat(path)
-        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f"{os.path.basename(path)}:{st.st_size}".encode())
         with open(path, "rb") as f:
             h.update(f.read(4096))
+            # Fixed fractional offsets (deterministic for a given size).
+            for frac in (0.25, 0.5, 0.75):
+                off = int(st.st_size * frac)
+                if 4096 < off < st.st_size - 4096:
+                    f.seek(off)
+                    h.update(f.read(1024))
             if st.st_size > 8192:
                 f.seek(-4096, os.SEEK_END)
                 h.update(f.read(4096))

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,23 +69,31 @@ def random_distinct_indices(key: Array, n: int, k: int) -> Array:
     ``jax.random.choice(replace=False)`` performs — at n = 8M that
     permutation dominated training startup.  For ``n > 16k`` an
     oversampled batch of ``4k`` draws is deduplicated in first-occurrence
-    order (the probability of fewer than ``k`` distinct values is
-    astronomically small at that ratio); small ``n`` keeps the exact
-    permutation path.
+    order via a stable sort (O(c log c) — a pairwise-equality matrix would
+    be O(c^2), ~64 GB at the supported k = 65536); small ``n`` keeps the
+    exact permutation path.
+
+    The probability of fewer than ``k`` distinct values among ``4k`` draws
+    at ``n > 16k`` is astronomically small; if it ever happens, unfilled
+    output slots fall back to the identity indices ``0..k`` (valid, mostly
+    distinct) rather than silently duplicating index 0.
     """
     if n <= 16 * k:
         return jax.random.choice(key, n, shape=(k,), replace=False)
     c = 4 * k
     cand = jax.random.randint(key, (c,), 0, n)
-    # first_occurrence[i] = no equal value at an earlier position.
-    eq_earlier = (cand[None, :] == cand[:, None]) & (
-        jnp.arange(c)[None, :] < jnp.arange(c)[:, None]
+    # Stable sort groups equal values with draw order preserved inside each
+    # run, so the first element of a run is the earliest draw of that value.
+    perm = jnp.argsort(cand, stable=True)
+    sorted_vals = jnp.take(cand, perm)
+    is_first_sorted = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vals[1:] != sorted_vals[:-1]]
     )
-    first = ~jnp.any(eq_earlier, axis=1)
+    first = jnp.zeros((c,), bool).at[perm].set(is_first_sorted)
     # Select the first k first-occurrences in draw order.
     rank = jnp.cumsum(first) - 1  # rank among distinct values
     slot = jnp.where(first & (rank < k), rank, k)
-    return jnp.zeros((k,), cand.dtype).at[slot].set(cand, mode="drop")
+    return jnp.arange(k, dtype=cand.dtype).at[slot].set(cand, mode="drop")
 
 
 @dataclasses.dataclass(frozen=True)

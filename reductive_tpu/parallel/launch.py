@@ -24,6 +24,7 @@ artifact).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -31,6 +32,28 @@ import jax
 __all__ = ["initialize_distributed"]
 
 _initialized = False
+
+# Environment variables that signal this process is part of a multi-host
+# deployment.  If any is set and auto-discovery still fails, silently
+# falling back to single-process would make every host train on its own
+# shard alone and produce divergent models — so we raise instead.
+_MULTIHOST_ENV_SIGNALS = (
+    "TPU_WORKER_HOSTNAMES",
+    "TPU_WORKER_ID",
+    "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "MEGASCALE_NUM_SLICES",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+)
+
+
+def _multihost_intent() -> Optional[str]:
+    """The first environment signal indicating multi-host membership, if any."""
+    for name in _MULTIHOST_ENV_SIGNALS:
+        if os.environ.get(name):
+            return name
+    return None
 
 
 def initialize_distributed(
@@ -64,16 +87,23 @@ def initialize_distributed(
     except (RuntimeError, ValueError) as e:
         if explicit:
             raise
-        # No discoverable multi-process topology (or the backend is
-        # already up in a single-process session): run single-process.
-        # Warn loudly — on a real pod a swallowed failure here would mean
-        # every host silently trains on its own shard alone.
+        signal = _multihost_intent()
+        if signal is not None:
+            # The environment says this host is part of a pod; a silent
+            # single-process fallback would mean every host trains on its
+            # own shard alone and produces a divergent model.  Fail.
+            raise RuntimeError(
+                f"jax.distributed.initialize failed ({e}) but the "
+                f"environment signals multi-host membership ({signal} is "
+                "set). Refusing the silent single-process fallback — pass "
+                "coordinator_address/num_processes/process_id explicitly."
+            ) from e
+        # No multi-host signal anywhere (the common local/test case, or a
+        # backend already initialized in-session): run single-process.
         import logging
 
         logging.getLogger("reductive_tpu").warning(
             "jax.distributed.initialize failed (%s); continuing "
-            "single-process. If this is a multi-host pod, pass the "
-            "topology explicitly — training would otherwise silently "
-            "cover only this host's shard.",
+            "single-process (no multi-host environment signals present).",
             e,
         )

@@ -170,20 +170,11 @@ def _init_sharded_codebooks(x, key, *, m: int, k: int, projection=None):
     global instance matrix, rotated (rows only) when a projection is
     given; XLA gathers across shards.  Module-level jit — the compile
     cache survives across training calls."""
-    n, d = x.shape
-    ds = d // m
+    from ..pq.train import init_codebooks_random
+
+    ds = x.shape[1] // m
     keys = jax.random.split(key, m)
-
-    from ..kmeans import random_distinct_indices
-
-    def init_one(key, j):
-        idx = random_distinct_indices(key, n, k)
-        rows = jnp.take(x, idx, axis=0)
-        if projection is not None:
-            rows = jnp.dot(rows, projection, precision="highest")
-        return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
-
-    return jax.vmap(init_one)(keys, jnp.arange(m))
+    return init_codebooks_random(x, keys, k, ds, projection)
 
 
 @functools.lru_cache(maxsize=None)

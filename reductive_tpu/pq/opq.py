@@ -344,17 +344,9 @@ def _init_opq_codebooks(x, keys, projection, k: int, ds: int):
     """Initial centroids for the chunked OPQ: k distinct random instances
     per subquantizer, rotated on the fly (reference:
     ``src/pq/opq.rs:71-83,138-159``)."""
-    n = x.shape[0]
+    from .train import init_codebooks_random
 
-    from ..kmeans import random_distinct_indices
-
-    def init_one(key, j):
-        idx = random_distinct_indices(key, n, k)
-        rows = jnp.take(x, idx, axis=0)
-        rrows = jnp.dot(rows, projection, precision="highest")
-        return jax.lax.dynamic_slice(rrows, (0, j * ds), (k, ds))
-
-    return jax.vmap(init_one)(keys, jnp.arange(keys.shape[0]))
+    return init_codebooks_random(x, keys, k, ds, projection)
 
 
 @partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))

@@ -45,7 +45,33 @@ __all__ = [
     "train_pq_subspace_with_centroids",
     "assign_stats_streamed",
     "lloyd_iteration_chunked",
+    "init_codebooks_random",
 ]
+
+
+def init_codebooks_random(
+    x: Array, keys: Array, k: int, ds: int, projection: Optional[Array] = None
+) -> Array:
+    """``(m, k, ds)`` initial codebooks: ``k`` distinct random instances per
+    subquantizer, column-sliced — and rotated on the fly (rows only) when a
+    ``projection`` is given, so the rotated corpus is never materialized.
+
+    The shared initial-codebook draw of the chunked, OPQ, and sharded
+    trainers (reference: ``RandomInstanceCentroids``, ``src/kmeans.rs:52-87``,
+    applied per subquantizer slice as in ``src/pq/pq.rs:117-136`` /
+    ``src/pq/opq.rs:138-159``).  ``keys`` is ``(m, 2)`` — one PRNG key per
+    subquantizer; trace-safe (callable inside jit / shard_map).
+    """
+    n = x.shape[0]
+
+    def init_one(key, j):
+        idx = random_distinct_indices(key, n, k)
+        rows = jnp.take(x, idx, axis=0)
+        if projection is not None:
+            rows = jnp.dot(rows, projection, precision="highest")
+        return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
+
+    return jax.vmap(init_one)(keys, jnp.arange(keys.shape[0]))
 
 
 def _subquantizer_initial_centroids(key: Array, xs: Array, k: int) -> Array:
@@ -470,15 +496,7 @@ def _run_chunked_attempt(
     n, d = x.shape
     ds = d // m
     keys = jax.random.split(key, m)
-
-    def init_one(key, j):
-        idx = random_distinct_indices(key, n, k)
-        rows = jnp.take(x, idx, axis=0)
-        if projection is not None:
-            rows = jnp.dot(rows, projection, precision="highest")
-        return jax.lax.dynamic_slice(rows, (0, j * ds), (k, ds))
-
-    codebooks = jax.vmap(init_one)(keys, jnp.arange(m))
+    codebooks = init_codebooks_random(x, keys, k, ds, projection)
 
     def body(_, carry):
         cb, _ = carry

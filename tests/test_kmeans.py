@@ -216,6 +216,26 @@ def test_random_distinct_indices():
         counts[s // 2000] += 1
     assert counts.min() > 0  # every bucket of 2% hit at least once
 
+    # The sort-based dedup preserves first-occurrence draw order exactly:
+    # replicate the candidate draws and dedup them in numpy.
+    key = jax.random.PRNGKey(7)
+    n, k = 5_000, 256  # n > 16k, small n so duplicates actually occur
+    cand = np.asarray(jax.random.randint(key, (4 * k,), 0, n))
+    seen, expected = set(), []
+    for v in cand.tolist():
+        if v not in seen:
+            seen.add(v)
+            expected.append(v)
+        if len(expected) == k:
+            break
+    got = np.asarray(random_distinct_indices(key, n, k))
+    np.testing.assert_array_equal(got, np.asarray(expected))
+
+    # Large k stays memory-feasible (the former pairwise-equality matrix
+    # would be (4k)^2 bools — 1 GB at k=8192, 64 GB at k=65536).
+    big = np.asarray(random_distinct_indices(jax.random.PRNGKey(3), 10_000_000, 8192))
+    assert len(set(big.tolist())) == 8192
+
 
 def test_kmeans_iteration_and_with_centroids_axis1():
     """instance_axis=1 (instances as columns) mirrors the reference's Axis

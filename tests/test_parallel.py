@@ -193,3 +193,29 @@ def test_sharded_gaussian_opq_composition():
     rec = pq_sh.reconstruct_batch(pq_sh.quantize_batch(x))
     loss = float(jnp.mean(jnp.sqrt(jnp.sum((x - rec) ** 2, axis=1))))
     assert loss < 0.12
+
+
+def test_initialize_distributed_raises_on_multihost_signal(monkeypatch):
+    """A failed auto-discovery must NOT silently fall back to
+    single-process when the environment says this host is part of a pod
+    (every host would otherwise train on its own shard alone)."""
+    import pytest
+
+    from reductive_tpu.parallel import launch
+
+    monkeypatch.setattr(launch, "_initialized", False)
+    for name in launch._MULTIHOST_ENV_SIGNALS:
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+
+    def boom(**kwargs):
+        raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(launch.jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="multi-host membership"):
+        launch.initialize_distributed()
+
+    # Without any multi-host signal the fallback stays silent (warning only).
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setattr(launch, "_initialized", False)
+    launch.initialize_distributed()  # no raise
