@@ -43,7 +43,11 @@ def _encode_fn(pq: Pq, dtype, use_kernel: bool):
                 x = jnp.dot(x, projection, precision="highest")
             return primitives.quantize_batch(codebooks, x, dtype=dtype)
 
-    return jax.jit(fn, static_argnames=())
+    # Each input batch is consumed exactly once — donate it so its HBM
+    # frees as soon as the encode reads it, keeping the pipeline's
+    # high-water at max_in_flight batches instead of 2x that (the *_into
+    # analog on the streaming path; donation is a no-op on CPU).
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 def stream_encode_batches(

@@ -16,7 +16,7 @@ TPU-native counterpart of the reference's ``pq`` module tree
 """
 
 from . import primitives
-from .model import Pq
+from .model import Pq, quantize_batch_into, reconstruct_batch_into
 from .opq import (
     bucket_eigenvalues,
     create_projection_matrix,
@@ -30,6 +30,8 @@ from .traits import GaussianOpq, Opq, PqTrainer, entropy_key
 
 __all__ = [
     "Pq",
+    "quantize_batch_into",
+    "reconstruct_batch_into",
     "PqTrainer",
     "Opq",
     "GaussianOpq",

@@ -18,6 +18,7 @@ Apply paths (reference: ``src/pq/pq.rs:252-348``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -26,7 +27,7 @@ from jax import Array
 
 from . import primitives
 
-__all__ = ["Pq"]
+__all__ = ["Pq", "quantize_batch_into", "reconstruct_batch_into"]
 
 
 @jax.tree_util.register_dataclass
@@ -147,3 +148,59 @@ class Pq:
         if self.projection is not None:
             out = jnp.dot(out, self.projection.T, precision=precision)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Preallocated-output serving entries (reference: quantize_batch_into /
+# reconstruct_batch_into, src/pq/primitives.rs:64,150 + traits.rs:109-141).
+#
+# The reference's *_into methods exist so a serving loop can reuse one
+# output buffer instead of allocating per call.  The TPU-idiomatic
+# equivalent is **buffer donation**: the caller's ``out`` array is donated
+# to the jitted program, XLA aliases the result into its memory, and the
+# steady-state HBM high-water of a serving loop stays at one output buffer
+# (donation is a no-op on backends that do not support it, e.g. CPU).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("method", "dtype"))
+def _quantize_into(pq: Pq, x: Array, out: Array, method: str, dtype) -> Array:
+    del out  # donated: XLA aliases its buffer to the returned codes
+    return pq.quantize_batch(x, dtype=dtype, method=method)
+
+
+def quantize_batch_into(pq: Pq, x: Array, out: Array, *, method: str = "exact") -> Array:
+    """Encode ``(n, d)`` vectors, reusing ``out``'s device memory.
+
+    ``out`` must be an ``(n, m)`` device array of the desired code dtype;
+    it is **donated** (its buffer is consumed — do not reuse the array
+    object afterwards) and the returned codes alias it where the backend
+    supports donation.  The TPU analog of the reference's
+    ``quantize_batch_into`` (``src/pq/primitives.rs:64-104``).
+    """
+    n, m = x.shape[0], pq.quantized_len
+    if tuple(out.shape) != (n, m):
+        raise ValueError(f"out has shape {out.shape}, expected {(n, m)}")
+    return _quantize_into(pq, x, out, method, jnp.dtype(out.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("method",))
+def _reconstruct_into(pq: Pq, codes: Array, out: Array, method: str) -> Array:
+    del out
+    return pq.reconstruct_batch(codes, method=method)
+
+
+def reconstruct_batch_into(
+    pq: Pq, codes: Array, out: Array, *, method: str = "auto"
+) -> Array:
+    """Decode ``(n, m)`` codes, reusing ``out``'s device memory.
+
+    ``out`` must be an ``(n, d)`` f32 device array; it is **donated** and
+    the returned reconstruction aliases it where the backend supports
+    donation.  The TPU analog of the reference's ``reconstruct_batch_into``
+    (``src/pq/primitives.rs:150-173``, ``traits.rs:109-117``).
+    """
+    n, d = codes.shape[0], pq.reconstructed_len
+    if tuple(out.shape) != (n, d):
+        raise ValueError(f"out has shape {out.shape}, expected {(n, d)}")
+    return _reconstruct_into(pq, codes, out, method)

@@ -33,6 +33,24 @@ from .pq.model import Pq
 
 __all__ = ["adc_tables", "adc_scores", "search"]
 
+# search() auto-switches to the streamed scorer when the full (nq, n)
+# score matrix would exceed this many f32 elements (64M = 256 MB) — a
+# 10M-code corpus at 16 queries would otherwise silently materialize
+# 640 MB of scores per call.
+_STREAM_SCORE_ELEMS = 64 * (1 << 20)
+_DEFAULT_STREAM_CHUNK = 1 << 20
+
+
+def _resolve_stream_chunk(nq: int, n: int, stream_chunk: Optional[int]) -> Optional[int]:
+    """The effective streaming chunk: the caller's explicit choice, or the
+    default chunk when the dense score matrix would be too large, or None
+    (dense path) otherwise."""
+    if stream_chunk is not None:
+        return stream_chunk
+    if nq * n > _STREAM_SCORE_ELEMS:
+        return min(_DEFAULT_STREAM_CHUNK, n)
+    return None
+
 
 def adc_tables(pq: Pq, queries: Array, *, precision="highest") -> Array:
     """Per-query squared-distance lookup tables.
@@ -212,7 +230,11 @@ def search(
     ``stream_chunk`` (e.g. ``1 << 20``) switches to the scan-based
     streamed search: the ``(nq, n)`` score matrix never materializes —
     only a running ``(nq, top_k)`` carry — so corpora of hundreds of
-    millions of codes search in O(nq * stream_chunk) memory.
+    millions of codes search in O(nq * stream_chunk) memory.  When
+    ``stream_chunk`` is not given and the score matrix would exceed
+    ``_STREAM_SCORE_ELEMS`` f32 elements (256 MB), streaming engages
+    automatically — a default-args search over a huge corpus never
+    allocates O(nq * n).
     """
     if top_k <= 0:
         raise ValueError("top_k must be >= 1")
@@ -223,6 +245,9 @@ def search(
     if method not in ("einsum", "kernel"):
         raise ValueError(f"unknown search method {method!r}")
 
+    stream_chunk = _resolve_stream_chunk(
+        queries.shape[0], codes.shape[0], stream_chunk
+    )
     if stream_chunk is not None:
         one = lambda q: _search_streamed_jit(
             pq, q, codes, top_k, stream_chunk, chunk_size, method, splits

@@ -241,3 +241,33 @@ def test_trait_style_training_surface():
     assert loss(GaussianOpq.train_pq_using(10, 7, 10, 1, x, key)) < 0.12
     # Entropy-seeded entry trains successfully (non-deterministic seed).
     assert loss(PqTrainer.train_pq(10, 7, 10, 1, x)) < 0.09
+
+
+def test_quantize_reconstruct_into():
+    """The *_into serving entries (buffer-donation analog of the
+    reference's quantize_batch_into / reconstruct_batch_into,
+    src/pq/primitives.rs:64,150): identical results to the plain paths,
+    with shape validation on the donated output buffer."""
+    import pytest
+
+    from reductive_tpu.pq import quantize_batch_into, reconstruct_batch_into
+
+    m, k, ds, n = 4, 16, 3, 64
+    kc, kx = jax.random.split(jax.random.PRNGKey(0))
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+
+    expected_codes = pq.quantize_batch(x, dtype=jnp.uint8)
+    out = jnp.zeros((n, m), jnp.uint8)
+    codes = quantize_batch_into(pq, x, out)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(expected_codes))
+
+    expected_rec = pq.reconstruct_batch(expected_codes)
+    out_rec = jnp.zeros((n, m * ds), jnp.float32)
+    rec = reconstruct_batch_into(pq, codes, out_rec)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(expected_rec))
+
+    with pytest.raises(ValueError, match="expected"):
+        quantize_batch_into(pq, x, jnp.zeros((n, m + 1), jnp.uint8))
+    with pytest.raises(ValueError, match="expected"):
+        reconstruct_batch_into(pq, codes, jnp.zeros((n + 1, m * ds), jnp.float32))

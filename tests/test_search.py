@@ -217,3 +217,36 @@ def test_adc_kernel_int8_mode():
         for q in range(nq)
     ])
     assert overlap > 0.85
+
+
+def test_search_auto_streams_large_corpora(monkeypatch):
+    """A default-args search over a corpus whose (nq, n) score matrix
+    would be huge must auto-route to the streamed scorer — and return the
+    same results as the dense path."""
+    from reductive_tpu import search as search_mod
+
+    assert search_mod._resolve_stream_chunk(16, 1000, None) is None
+    assert (
+        search_mod._resolve_stream_chunk(16, 10_000_000, None)
+        == search_mod._DEFAULT_STREAM_CHUNK
+    )
+    assert search_mod._resolve_stream_chunk(16, 10_000_000, 4096) == 4096
+    # The auto chunk never exceeds the corpus itself.
+    monkeypatch.setattr(search_mod, "_STREAM_SCORE_ELEMS", 1000)
+    assert search_mod._resolve_stream_chunk(16, 2000, None) == 2000
+
+    m, k, ds, n, nq = 4, 16, 3, 3000, 5
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(2), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    d_dense, i_dense = search_mod.search(pq, queries, codes, top_k=7)
+    # Tiny threshold: the same call now auto-streams in 512-row chunks.
+    monkeypatch.setattr(search_mod, "_STREAM_SCORE_ELEMS", 64)
+    monkeypatch.setattr(search_mod, "_DEFAULT_STREAM_CHUNK", 512)
+    d_auto, i_auto = search_mod.search(pq, queries, codes, top_k=7)
+    np.testing.assert_array_equal(np.asarray(i_dense), np.asarray(i_auto))
+    np.testing.assert_allclose(
+        np.asarray(d_dense), np.asarray(d_auto), rtol=1e-5, atol=1e-5
+    )
