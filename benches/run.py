@@ -60,10 +60,37 @@ def bench_linalg(quick):
     cov = jax.jit(lambda x: covariance(x, 0))
     record("covariance_axis0_50x100", timeit(cov, a))
 
+    a1 = jax.random.normal(key, (100, 50), dtype=jnp.float32)
+    cov1 = jax.jit(lambda x: covariance(x, 1))
+    record("covariance_axis1_100x50", timeit(cov1, a1))
+
     u = jax.random.normal(key, (200, 50), dtype=jnp.float32)
     v = jax.random.normal(key, (50, 50), dtype=jnp.float32)
+    # ix2_ix2: one matrix x matrix call (benches/linalg.rs:52-59).
     sq = jax.jit(squared_euclidean_distance)
     record("squared_euclidean_distance_200x50_50x50", timeit(sq, u, v))
+    # ix1_ix1 / ix1_ix2 (benches/linalg.rs:24-50): the reference loops the
+    # vec x vec / vec x mat paths row-by-row on the host; the TPU-idiomatic
+    # equivalent vmaps the same single-vector code paths into one dispatch
+    # (10,000 / 200 calls' worth of work respectively).
+    ix1_ix1 = jax.jit(
+        lambda u, v: jax.vmap(
+            lambda a: jax.vmap(lambda b: squared_euclidean_distance(a, b))(v)
+        )(u)
+    )
+    record(
+        "squared_euclidean_distance_ix1_ix1_200x50_50x50",
+        timeit(ix1_ix1, u, v),
+        extra={"note": "vec x vec path vmapped over all 10k row pairs"},
+    )
+    ix1_ix2 = jax.jit(
+        lambda u, v: jax.vmap(lambda a: squared_euclidean_distance(a, v))(u)
+    )
+    record(
+        "squared_euclidean_distance_ix1_ix2_200x50_50x50",
+        timeit(ix1_ix2, u, v),
+        extra={"note": "vec x mat path vmapped over 200 rows"},
+    )
 
 
 def bench_reference_pq_shapes(quick):
@@ -79,6 +106,22 @@ def bench_reference_pq_shapes(quick):
     codes = enc(cb, x)
     dec = jax.jit(primitives.reconstruct_batch)
     record("pq_reconstruct_batch_100x16", timeit(dec, cb, codes))
+
+    # One-by-one harnesses (benches/pq.rs:15-25,35-46): the reference
+    # loops quantize_vector / reconstruct over rows; here the same
+    # single-vector code paths are vmapped into one dispatch.
+    enc1 = jax.jit(
+        lambda c, x: jax.vmap(lambda v: primitives.quantize(c, v, dtype=jnp.uint8))(x)
+    )
+    record(
+        "pq_quantize_rowwise_100x128_m16_k16", timeit(enc1, cb, x),
+        extra={"note": "single-vector quantize path vmapped over 100 rows"},
+    )
+    dec1 = jax.jit(lambda c, q: jax.vmap(lambda row: primitives.reconstruct(c, row))(q))
+    record(
+        "pq_reconstruct_rowwise_100x16", timeit(dec1, cb, codes),
+        extra={"note": "single-vector reconstruct path vmapped over 100 rows"},
+    )
 
 
 def bench_config1(quick):

@@ -329,11 +329,12 @@ def _opq_sharded_step(
     def run(x_local, projection, codebooks, n_iterations):
         def body(_, carry):
             proj, cb = carry
-            return _opq_iteration_chunked(
+            proj, cb, _ = _opq_iteration_chunked(
                 x_local, proj, cb, chunk=chunk, use_kernel=use_kernel,
                 compute_dtype=compute_dtype, axis_name=data_axis,
                 interpret=interpret,
             )
+            return proj, cb
 
         return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
 

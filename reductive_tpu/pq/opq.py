@@ -162,9 +162,21 @@ def polar_orthogonalize(M: Array, iterations: int = 40) -> Array:
     return jax.lax.cond(err < 1e-3, lambda R: R, qr_route, R)
 
 
-@jax.jit
+def _log_opq_iteration(i, loss) -> None:
+    """Host-side per-iteration log line — the counterpart of the
+    reference's ``info!("Iteration {}", ...)`` (``src/pq/opq.rs:87``),
+    carrying the mean subquantizer loss the reference computes but never
+    surfaces."""
+    logger.info("OPQ iteration %d: loss %.6f", int(i), float(loss))
+
+
+@partial(jax.jit, static_argnames=("log_iterations",))
 def _alternate(
-    x: Array, projection: Array, codebooks: Array, n_iterations: Array
+    x: Array,
+    projection: Array,
+    codebooks: Array,
+    n_iterations: Array,
+    log_iterations: bool = False,
 ) -> tuple[Array, Array]:
     """The OPQ alternating-minimization loop, fully jitted.
 
@@ -177,16 +189,24 @@ def _alternate(
        (Ge et al., 2013, Eq. 7).
 
     ``n_iterations`` is a *runtime* value (the ``fori_loop`` bound may be
-    traced), so one ~50 s compilation serves every iteration count.
+    traced), so one ~50 s compilation serves every iteration count.  With
+    ``log_iterations`` the loop emits the reference's per-iteration log
+    line (``src/pq/opq.rs:87``) plus the mean subquantizer loss through
+    ``jax.debug.callback`` — the loss trajectory is visible even though
+    all iterations run on device.
     """
     m, k, ds = codebooks.shape
     n = x.shape[0]
 
-    def body(_, carry):
+    def body(i, carry):
         projection, codebooks = carry
         rx = jnp.dot(x, projection, precision="highest")
         rxs = jnp.moveaxis(rx.reshape(n, m, ds), 1, 0)  # (m, n, ds)
-        codebooks, _ = jax.vmap(lambda xs, c: kmeans_iteration(xs, c))(rxs, codebooks)
+        codebooks, losses = jax.vmap(lambda xs, c: kmeans_iteration(xs, c))(
+            rxs, codebooks
+        )
+        if log_iterations:
+            jax.debug.callback(_log_opq_iteration, i, jnp.mean(losses))
         codes = primitives.quantize_batch(codebooks, rx, dtype=jnp.int32)
         reconstructed = primitives.reconstruct_batch(codebooks, codes)
         M = jnp.dot(x.T, reconstructed, precision="highest")
@@ -232,14 +252,21 @@ def train_opq(
     codebooks = jax.vmap(init_one)(keys, jnp.moveaxis(rxs, 1, 0))
 
     # The reference logs each iteration and phase from the host
-    # (src/pq/opq.rs:87,170,176); here all iterations run inside one jitted
-    # fori_loop, so the markers collapse to one host-side line.
+    # (src/pq/opq.rs:87,170,176); here the iterations run inside one
+    # jitted fori_loop, with the per-iteration line (plus the loss the
+    # reference never surfaces) emitted through jax.debug.callback.
     logger.info(
         "Running %d OPQ iterations (subquantizer update + Procrustes "
         "projection update per iteration, jitted end-to-end)",
         n_iterations,
     )
-    projection, codebooks = _alternate(instances, projection, codebooks, n_iterations)
+    from ..utils.callbacks import host_callbacks_supported
+
+    projection, codebooks = _alternate(
+        instances, projection, codebooks, n_iterations,
+        log_iterations=logger.isEnabledFor(logging.INFO)
+        and host_callbacks_supported(),
+    )
     return Pq(codebooks=codebooks, projection=projection)
 
 
@@ -336,7 +363,14 @@ def _opq_iteration_chunked(
         M, _ = cross_body(M, x[n_main:])
     if axis_name is not None:
         M = jax.lax.psum(M, axis_name)
-    return polar_orthogonalize(M.astype(x.dtype)), new_codebooks
+    # Explained sum-of-squares of the (already global, post-psum) stats:
+    # sse = sum||x||^2 - explained, so callers can surface the loss
+    # trajectory without a second pass over the data.
+    safe = jnp.maximum(counts, 1.0)
+    explained = jnp.sum(
+        jnp.where(counts > 0, jnp.sum(sums * sums, axis=-1) / safe, 0.0)
+    )
+    return polar_orthogonalize(M.astype(x.dtype)), new_codebooks, explained
 
 
 @partial(jax.jit, static_argnames=("k", "ds"))
@@ -349,16 +383,26 @@ def _init_opq_codebooks(x, keys, projection, k: int, ds: int):
     return init_codebooks_random(x, keys, k, ds, projection)
 
 
-@partial(jax.jit, static_argnames=("chunk", "use_kernel", "compute_dtype"))
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "use_kernel", "compute_dtype", "log_iterations"),
+)
 def _alternate_chunked(
-    x, projection, codebooks, n_iterations, *, chunk, use_kernel, compute_dtype
+    x, projection, codebooks, n_iterations, *, chunk, use_kernel, compute_dtype,
+    total_sumsq=None, start_iteration=0, log_iterations: bool = False,
 ):
-    def body(_, carry):
+    n, d = x.shape
+
+    def body(i, carry):
         proj, cb = carry
-        return _opq_iteration_chunked(
+        proj, cb, explained = _opq_iteration_chunked(
             x, proj, cb, chunk=chunk, use_kernel=use_kernel,
             compute_dtype=compute_dtype,
         )
+        if log_iterations and total_sumsq is not None:
+            loss = (total_sumsq - explained) / jnp.float32(n * d)
+            jax.debug.callback(_log_opq_iteration, start_iteration + i, loss)
+        return proj, cb
 
     return jax.lax.fori_loop(0, n_iterations, body, (projection, codebooks))
 
@@ -374,15 +418,33 @@ def train_opq_chunked(
     chunk: int = 32768,
     use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    initial_model: Optional[Pq] = None,
 ) -> Pq:
     """Corpus-scale OPQ: the same alternating minimization as
     :func:`train_opq` (reference: ``src/pq/opq.rs:40-100``; ``n_attempts``
     ignored as in the reference) with every pass over the data streamed —
     suitable for ``n`` where the rotated corpus or the ``(m, n, k)``
     distance tensor cannot be materialized.  ``use_kernel=None`` selects
-    the fused kernels on TPU and the einsum fallback elsewhere."""
+    the fused kernels on TPU and the einsum fallback elsewhere.
+
+    Fault tolerance (the reference has none — SURVEY.md §5): with
+    ``checkpoint_every=e`` and ``checkpoint_path``, the
+    ``(projection, codebooks)`` state is written atomically as an
+    :mod:`reductive_tpu.io` artifact every ``e`` alternations; a killed
+    job restarts via ``initial_model=io.load(path)`` (skipping projection
+    + codebook init) and loses at most ``e`` alternations.  Segmenting the
+    loop does not retrace: the iteration count is a traced value, so one
+    compilation serves every segment length.
+    """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
+    if checkpoint_every is not None:
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every requires checkpoint_path")
+        if checkpoint_every <= 0:
+            raise ValueError("checkpoint_every must be >= 1")
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, 1, n, d
@@ -390,19 +452,59 @@ def train_opq_chunked(
     k = 2 ** n_subquantizer_bits
     ds = d // n_subquantizers
 
-    projection = create_projection_matrix(instances, n_subquantizers)
-    keys = jax.random.split(key, n_subquantizers)
-    codebooks = _init_opq_codebooks(instances, keys, projection, k, ds)
+    if initial_model is not None:
+        if initial_model.projection is None:
+            raise ValueError("initial_model must carry a projection")
+        if initial_model.codebooks.shape != (n_subquantizers, k, ds):
+            raise ValueError(
+                f"initial_model codebooks have shape "
+                f"{initial_model.codebooks.shape}, expected {(n_subquantizers, k, ds)}"
+            )
+        projection, codebooks = initial_model.projection, initial_model.codebooks
+    else:
+        projection = create_projection_matrix(instances, n_subquantizers)
+        keys = jax.random.split(key, n_subquantizers)
+        codebooks = _init_opq_codebooks(instances, keys, projection, k, ds)
 
     logger.info(
         "Running %d chunked OPQ iterations (fused-stats subquantizer "
         "update + streamed Procrustes accumulation per iteration)",
         n_iterations,
     )
-    projection, codebooks = _alternate_chunked(
-        instances, projection, codebooks, n_iterations,
-        chunk=chunk, use_kernel=use_kernel, compute_dtype=compute_dtype,
+    # Rotation-invariant total sum of squares (orthonormal R preserves
+    # norms), computed once for the per-iteration loss trajectory.
+    from ..utils.callbacks import host_callbacks_supported
+    from .train import _streamed_sumsq
+
+    log_it = logger.isEnabledFor(logging.INFO) and host_callbacks_supported()
+    total_sumsq = (
+        _streamed_sumsq(instances, 1, chunk=chunk)[0] if log_it else None
     )
+
+    done = 0
+    while done < n_iterations:
+        seg = (
+            n_iterations - done
+            if checkpoint_every is None
+            else min(checkpoint_every, n_iterations - done)
+        )
+        projection, codebooks = _alternate_chunked(
+            instances, projection, codebooks, seg,
+            chunk=chunk, use_kernel=use_kernel, compute_dtype=compute_dtype,
+            total_sumsq=total_sumsq, start_iteration=done,
+            log_iterations=log_it,
+        )
+        done += seg
+        if checkpoint_every is not None:
+            from .. import io as _io_mod
+
+            _io_mod.save(
+                checkpoint_path, Pq(codebooks=codebooks, projection=projection)
+            )
+            logger.info(
+                "Checkpointed OPQ state after %d/%d alternations to %s",
+                done, n_iterations, checkpoint_path,
+            )
     return Pq(codebooks=codebooks, projection=projection)
 
 

@@ -399,6 +399,8 @@ def train_pq_chunked(
     use_kernel: Optional[bool] = None,
     compute_dtype=jnp.float32,
     projection: Optional[Array] = None,
+    checkpoint_every: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> Pq:
     """Large-corpus PQ training: same semantics as :func:`train_pq`, but
     every Lloyd's iteration streams the instances chunk-by-chunk with the
@@ -416,10 +418,20 @@ def train_pq_chunked(
     minimum-loss attempt like the reference (``src/pq/pq.rs:168-188``).
 
     ``use_kernel=None`` (default) selects the fused Pallas kernel on TPU
-    and the einsum fallback elsewhere.
+    and the einsum fallback elsewhere.  With ``checkpoint_every=e`` and
+    ``checkpoint_path``, the current attempt's state is written atomically
+    as an :mod:`reductive_tpu.io` artifact every ``e`` iterations — a
+    recovery artifact for long corpus-scale jobs (the reference has no
+    fault handling at all, SURVEY.md §5); segmenting the loop does not
+    retrace (iteration counts are traced values).
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
+    if checkpoint_every is not None:
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every requires checkpoint_path")
+        if checkpoint_every <= 0:
+            raise ValueError("checkpoint_every must be >= 1")
     n, d = instances.shape
     check_quantizer_invariants(
         n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
@@ -432,17 +444,41 @@ def train_pq_chunked(
         "%d attempts, chunk=%d)",
         m, k, n_iterations, n_attempts, chunk,
     )
+    from ..utils.callbacks import host_callbacks_supported
+
+    log_it = logger.isEnabledFor(logging.INFO) and host_callbacks_supported()
 
     sumsq = _streamed_sumsq(instances, m, chunk=chunk, projection=projection)
 
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
         akey = jax.random.fold_in(key, attempt)
-        cb, loss = _run_chunked_attempt(
-            akey, instances, sumsq, n_iterations, projection,
-            m=m, k=k, chunk=chunk, use_kernel=use_kernel,
-            compute_dtype=compute_dtype,
-        )
+        cb = _init_chunked_codebooks(akey, instances, projection, m=m, k=k)
+        loss = jnp.full((m,), jnp.inf, dtype=jnp.float32)
+        done = 0
+        while done < n_iterations:
+            seg = (
+                n_iterations - done
+                if checkpoint_every is None
+                else min(checkpoint_every, n_iterations - done)
+            )
+            cb, loss = _run_chunked_attempt(
+                instances, sumsq, cb, seg, projection,
+                chunk=chunk, use_kernel=use_kernel,
+                compute_dtype=compute_dtype, start_iteration=done,
+                log_iterations=log_it,
+            )
+            done += seg
+            if checkpoint_every is not None:
+                from .. import io as _io_mod
+
+                _io_mod.save(
+                    checkpoint_path, Pq(codebooks=cb, projection=projection)
+                )
+                logger.info(
+                    "Checkpointed PQ state (attempt %d, %d/%d iterations) to %s",
+                    attempt, done, n_iterations, checkpoint_path,
+                )
         if best_cb is None:
             best_cb, best_loss = cb, loss
         else:
@@ -482,28 +518,46 @@ def _streamed_sumsq(
     return total
 
 
+def _log_lloyd_iteration(i, loss) -> None:
+    """Host-side per-iteration log line for the chunked trainers (the
+    reference returns losses from each ``kmeans_iteration`` but logs only
+    phase markers; here the whole loop is on-device, so the trajectory
+    surfaces through ``jax.debug.callback``)."""
+    logger.info("Lloyd's iteration %d: mean subquantizer loss %.6f", int(i), float(loss))
+
+
+@partial(jax.jit, static_argnames=("m", "k"))
+def _init_chunked_codebooks(key, x, projection, *, m: int, k: int):
+    """Initial codebooks for one chunked training attempt (module-level
+    jit: the compile cache survives across ``train_pq_chunked`` calls)."""
+    keys = jax.random.split(key, m)
+    return init_codebooks_random(x, keys, k, x.shape[1] // m, projection)
+
+
 @partial(
     jax.jit,
-    static_argnames=("m", "k", "chunk", "use_kernel", "compute_dtype"),
+    static_argnames=("chunk", "use_kernel", "compute_dtype", "log_iterations"),
 )
 def _run_chunked_attempt(
-    key, x, sumsq, n_iterations, projection, *, m, k, chunk, use_kernel,
-    compute_dtype,
+    x, sumsq, codebooks, n_iterations, projection, *, chunk, use_kernel,
+    compute_dtype, start_iteration=0, log_iterations: bool = False,
 ):
-    """One full chunked training attempt (module-level jit: the compile
-    cache survives across ``train_pq_chunked`` calls; ``n_iterations`` is
-    traced, so one compilation serves every iteration count)."""
-    n, d = x.shape
-    ds = d // m
-    keys = jax.random.split(key, m)
-    codebooks = init_codebooks_random(x, keys, k, ds, projection)
+    """Lloyd's iterations of one chunked training attempt from given
+    codebooks.  ``n_iterations`` and ``start_iteration`` are traced, so one
+    compilation serves every iteration count and checkpoint segment."""
+    m = codebooks.shape[0]
 
-    def body(_, carry):
+    def body(i, carry):
         cb, _ = carry
-        return lloyd_iteration_chunked(
+        cb, losses = lloyd_iteration_chunked(
             x, cb, sumsq, chunk=chunk, use_kernel=use_kernel,
             compute_dtype=compute_dtype, projection=projection,
         )
+        if log_iterations:
+            jax.debug.callback(
+                _log_lloyd_iteration, start_iteration + i, jnp.mean(losses)
+            )
+        return cb, losses
 
     init_loss = jnp.full((m,), jnp.inf, dtype=jnp.float32)
     return jax.lax.fori_loop(0, n_iterations, body, (codebooks, init_loss))

@@ -215,3 +215,111 @@ def test_conformant_matches_initial_centroid_trainer():
         jnp.asarray(xs), jnp.asarray(initial), n_iter
     )
     assert np.array_equal(np.asarray(pq.codebooks), np.asarray(codebooks))
+
+
+# ---------------------------------------------------------------------------
+# Vendored golden streams (tests/goldens/rng_reference.json)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_rng_streams():
+    """Every stage of the conformance stack must reproduce the committed
+    golden fixtures bit-for-bit at seeds 42/1/7 — a refactor that drifts
+    any RNG or sampling detail (word order, fill order, fork order,
+    rejection-zone arithmetic) fails here exactly, not merely by nudging
+    a loss inside a tolerance band.  Fixture provenance:
+    tests/goldens/generate_goldens.py."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    golden = json.loads(
+        (Path(__file__).parent / "goldens" / "rng_reference.json").read_text()
+    )
+    shape = tuple(golden["gate"]["shape"])
+    m, k = golden["gate"]["m"], golden["gate"]["k"]
+
+    for seed_str, g in golden["seeds"].items():
+        seed = int(seed_str)
+        assert C._seed_from_u64(seed, 32).hex() == g["seed_bytes"]
+
+        master = C.ChaCha8Rng.seed_from_u64(seed)
+        np.testing.assert_array_equal(
+            master.next_words(64),
+            np.asarray(g["chacha8_words"], dtype=np.uint32),
+        )
+
+        master = C.ChaCha8Rng.seed_from_u64(seed)
+        forks = [C.XorShiftRng.from_rng(master) for _ in range(m)]
+        seeds_hex = [
+            b"".join(
+                int(v).to_bytes(4, "little") for v in (f.x, f.y, f.z, f.w)
+            ).hex()
+            for f in forks
+        ]
+        assert seeds_hex == g["xorshift_seeds"]
+        assert [forks[0].next_u32() for _ in range(16)] == g["xorshift_words"]
+
+        master = C.ChaCha8Rng.seed_from_u64(seed)
+        corpus = C.uniform_array_f32(master, shape)
+        np.testing.assert_array_equal(
+            corpus.ravel()[:8].astype(np.float64),
+            np.asarray(g["uniform_head"], dtype=np.float64),
+        )  # bit-exact: the f32 values round-trip exactly through JSON doubles
+        assert hashlib.sha256(corpus.tobytes()).hexdigest() == g["uniform_sha256"]
+
+        # The exact index tensor train_pq_conformant consumes (post-corpus
+        # master state, XorShift forks in subquantizer order).
+        pq_idx = C._pq_initial_indices(master, shape[0], m, k, 1)
+        assert [int(v) for v in pq_idx.ravel()[:16]] == g["pq_indices_head"]
+        assert (
+            hashlib.sha256(pq_idx.astype(np.int64).tobytes()).hexdigest()
+            == g["pq_indices_sha256"]
+        )
+
+        # The OPQ draws: directly off the master, no forks
+        # (src/pq/opq.rs:138-159).
+        master = C.ChaCha8Rng.seed_from_u64(seed)
+        C.uniform_array_f32(master, shape)
+        opq_idx = np.stack(
+            [C.distinct_indices(master, shape[0], k) for _ in range(m)]
+        )
+        assert [int(v) for v in opq_idx.ravel()[:16]] == g["opq_indices_head"]
+        assert (
+            hashlib.sha256(opq_idx.astype(np.int64).tobytes()).hexdigest()
+            == g["opq_indices_sha256"]
+        )
+
+
+@pytest.mark.parametrize("name", ["pq", "opq", "gaussian_opq"])
+def test_golden_gate_objectives(name):
+    """The end-to-end gate objectives at seeds 42/1/7 must reproduce the
+    recorded values to 1e-3 relative (float-summation order is the only
+    permitted variation) — and all land inside the reference's stated
+    bands (~0.077 / ~0.09 / ~0.1, src/pq/pq.rs:431-440, opq.rs:331-339,
+    gaussian_opq.rs:99-108)."""
+    import json
+    from pathlib import Path
+
+    golden = json.loads(
+        (Path(__file__).parent / "goldens" / "rng_reference.json").read_text()
+    )
+    shape = tuple(golden["gate"]["shape"])
+    m = golden["gate"]["m"]
+    trainer = {
+        "pq": C.train_pq_conformant,
+        "opq": C.train_opq_conformant,
+        "gaussian_opq": C.train_gaussian_opq_conformant,
+    }[name]
+    band = {"pq": 0.08, "opq": 0.10, "gaussian_opq": 0.12}[name]
+
+    for seed_str, g in golden["seeds"].items():
+        x, master = C.reference_test_instances(int(seed_str), shape)
+        model = trainer(x, m, 7, 10, 1, master=master)
+        rec = model.reconstruct_batch(model.quantize_batch(x))
+        loss = float(
+            jnp.mean(jnp.sqrt(jnp.sum((jnp.asarray(x) - rec) ** 2, axis=1)))
+        )
+        recorded = g[f"{name}_objective"]
+        assert abs(loss - recorded) <= 1e-3 * recorded, (seed_str, loss, recorded)
+        assert loss < band

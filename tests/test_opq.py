@@ -110,3 +110,69 @@ def test_polar_orthogonalize_matches_svd():
     )
     R = polar_orthogonalize(M)
     np.testing.assert_allclose(np.asarray(R.T @ R), np.eye(16), atol=1e-4)
+
+
+def test_opq_chunked_checkpoint_and_resume(tmp_path):
+    """checkpoint_every writes a loadable artifact, and resuming from it
+    reproduces the uninterrupted run exactly (alternations are
+    deterministic given the state — no RNG inside the loop)."""
+    from reductive_tpu import io as rio
+    from reductive_tpu.pq.opq import train_opq_chunked
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.uniform(key, (128, 12), dtype=jnp.float32)
+    path = str(tmp_path / "opq_ckpt.npz")
+
+    straight = train_opq_chunked(key, x, 4, 3, 6, chunk=32, use_kernel=False)
+
+    # Interrupted run: 4 alternations, checkpointing every 2.
+    train_opq_chunked(
+        key, x, 4, 3, 4, chunk=32, use_kernel=False,
+        checkpoint_every=2, checkpoint_path=path,
+    )
+    resumed = train_opq_chunked(
+        key, x, 4, 3, 2, chunk=32, use_kernel=False,
+        initial_model=rio.load(path),
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.codebooks), np.asarray(straight.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.projection), np.asarray(straight.projection),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        train_opq_chunked(key, x, 4, 3, 2, use_kernel=False, checkpoint_every=1)
+
+
+def test_opq_loss_trajectory_logged(caplog):
+    """The jitted alternation loop surfaces the reference's per-iteration
+    log line (src/pq/opq.rs:87) plus the loss through jax.debug.callback."""
+    import logging
+
+    from reductive_tpu.pq.opq import train_opq, train_opq_chunked
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (96, 8), dtype=jnp.float32)
+    with caplog.at_level(logging.INFO, logger="reductive_tpu"):
+        train_opq(key, x, 2, 3, 3)
+        jax.effects_barrier()
+    lines = [r.message for r in caplog.records if r.message.startswith("OPQ iteration ")]
+    assert len(lines) == 3, lines
+    losses = [float(l.split("loss ")[1]) for l in lines]
+    assert losses == sorted(losses, reverse=True) or all(
+        l >= 0 for l in losses
+    )  # non-negative; typically non-increasing
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="reductive_tpu"):
+        train_opq_chunked(key, x, 2, 3, 3, chunk=32, use_kernel=False)
+        jax.effects_barrier()
+    lines = [r.message for r in caplog.records if r.message.startswith("OPQ iteration ")]
+    assert [l.split(":")[0] for l in lines] == [
+        "OPQ iteration 0", "OPQ iteration 1", "OPQ iteration 2"
+    ]

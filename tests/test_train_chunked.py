@@ -241,3 +241,38 @@ def test_stats_kernel_m_split_for_large_codebooks(monkeypatch):
         np.asarray(jnp.einsum("mck,mcs->mks", onehot, xs_m, precision="highest")),
         rtol=1e-5, atol=1e-4,
     )
+
+
+def test_train_pq_chunked_checkpoint_hook(tmp_path, caplog):
+    """checkpoint_every on the chunked PQ trainer writes a loadable
+    recovery artifact without changing the training result, and the
+    per-iteration loss trajectory is logged."""
+    import logging
+
+    from reductive_tpu import io as rio
+    from reductive_tpu.pq.train import train_pq_chunked
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (128, 12), dtype=jnp.float32)
+    path = str(tmp_path / "pq_ckpt.npz")
+
+    plain = train_pq_chunked(key, x, 4, 3, 5, chunk=32, use_kernel=False)
+    with caplog.at_level(logging.INFO, logger="reductive_tpu"):
+        ckpt = train_pq_chunked(
+            key, x, 4, 3, 5, chunk=32, use_kernel=False,
+            checkpoint_every=2, checkpoint_path=path,
+        )
+        jax.effects_barrier()
+    np.testing.assert_allclose(
+        np.asarray(ckpt.codebooks), np.asarray(plain.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+    saved = rio.load(path)
+    np.testing.assert_allclose(
+        np.asarray(saved.codebooks), np.asarray(ckpt.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+    lines = [r.message for r in caplog.records if "Lloyd's iteration" in r.message]
+    assert [l.split(":")[0] for l in lines] == [
+        f"Lloyd's iteration {i}" for i in range(5)
+    ]
