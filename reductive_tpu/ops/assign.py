@@ -55,6 +55,59 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+_TRUNC_MASK = -65536  # 0xFFFF0000: sign + exponent + 7 mantissa bits (bf16)
+
+
+def trunc_split3_bf16(x):
+    """Exact 3-way bf16 decomposition of an f32 tensor (inside a Pallas
+    kernel): ``x == hi + mid + lo`` bit-for-bit, each term exactly
+    representable in bfloat16 (top 8 / next 8 / last 8 significand bits).
+
+    Masking the low 16 bits (instead of a round-trip ``astype``) keeps the
+    split exact under ``--xla_allow_excess_precision`` (which folds
+    f32→bf16→f32 casts into identity); the final casts are value-exact, so
+    folding them is harmless.
+    """
+    mask = jnp.int32(_TRUNC_MASK)
+    hi = pltpu.bitcast(pltpu.bitcast(x, jnp.int32) & mask, jnp.float32)
+    r = x - hi  # exact: r's significand is the low bits of x's
+    mid = pltpu.bitcast(pltpu.bitcast(r, jnp.int32) & mask, jnp.float32)
+    lo = r - mid  # exact, <= 8 significant bits
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def trunc_split2_bf16_stacked(W):
+    """Stacked 2-way bf16 split (top 8 / next 8 significand bits) of an
+    f32 matrix, for use *outside* Pallas kernels (under jit) — the
+    weight-side operand of the exact-mode 3-pass score matmul.  Bit masks
+    via ``lax.bitcast_convert_type`` so ``--xla_allow_excess_precision``
+    cannot fold the split away."""
+    mask = jnp.int32(_TRUNC_MASK)
+    wi = jax.lax.bitcast_convert_type(W, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(wi & mask, jnp.float32)
+    r = W - hi
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(r, jnp.int32) & mask, jnp.float32
+    )
+    return jnp.stack([hi, lo]).astype(jnp.bfloat16)
+
+
+def scores_3pass(w_hi, w_lo, x_hi, x_mid):
+    """Exact-mode score matmul: three single-pass bf16 products
+    (``W_hi x_hi + W_hi x_mid + W_lo x_hi`` with f32 accumulation) — XLA's
+    own ``Precision.HIGH`` algorithm, which Mosaic does not expose as a
+    dot precision.  Relative cross-term error ~2^-17, below the packed-key
+    argmin's 2^-15 tie coarsening, so assignments match the HIGHEST-
+    precision result except on ties the coarsening already collapses.
+    Used identically by the encode and assign+stats kernels so both
+    compute bit-identical packed keys."""
+    dn = (((1,), (1,)), ((), ()))
+    s = jax.lax.dot_general(w_hi, x_hi, dn, preferred_element_type=jnp.float32)
+    s += jax.lax.dot_general(w_hi, x_mid, dn, preferred_element_type=jnp.float32)
+    s += jax.lax.dot_general(w_lo, x_hi, dn, preferred_element_type=jnp.float32)
+    return s
+
+
 def pack_block_diagonal(
     codebooks: Array, compute_dtype=jnp.bfloat16, scale: float = 1.0
 ) -> tuple[Array, Array, int]:
@@ -96,18 +149,25 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
     ``(chunk*kp, block_n)`` score/key buffers stay within the VMEM budget
     for large-``m``/large-``d`` configurations.
     """
+    exact = compute_dtype == jnp.float32
     x = x_ref[:].astype(compute_dtype)
+    if exact:
+        x_hi, x_mid, _ = trunc_split3_bf16(x)
     bn = x.shape[0]
     per = m // groups
     rows = per * kp
     for g in range(groups):
-        s = jax.lax.dot_general(
-            wt_ref[g * rows:(g + 1) * rows, :],
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=matmul_precision,
-            preferred_element_type=jnp.float32,
-        )  # (rows, bn); W holds 2c, so s is already the doubled cross term
+        sl = slice(g * rows, (g + 1) * rows)
+        if exact:
+            s = scores_3pass(wt_ref[0, sl, :], wt_ref[1, sl, :], x_hi, x_mid)
+        else:
+            s = jax.lax.dot_general(
+                wt_ref[sl, :],
+                x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=matmul_precision,
+                preferred_element_type=jnp.float32,
+            )  # (rows, bn); W holds 2c, so s is already the doubled cross term
         dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
         # Monotonic int ordering of f32 (sign-flip), index in low bits.
         ib = pltpu.bitcast(dists, jnp.int32)
@@ -124,15 +184,16 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
 
 
 def _choose_tiling(m: int, kp: int, d: int, compute_itemsize: int,
-                   block_n: int | None) -> tuple[int, int]:
+                   block_n: int | None, exact: bool = False) -> tuple[int, int]:
     """Pick (block_n, groups) so the kernel's live VMEM fits the ~14 MB
-    budget: resident W (m*kp, d) + x tile (block_n, d) f32 + ~3 transient
-    (m*kp/groups, block_n) f32/int32 buffers."""
+    budget: resident W (m*kp, d) + x tile (block_n, d) f32 (+ the exact
+    mode's two bf16 x-splits) + ~3 transient (m*kp/groups, block_n)
+    f32/int32 buffers."""
     budget = 14 * (1 << 20)
     w_bytes = m * kp * d * compute_itemsize
     candidates_bn = [block_n] if block_n else [2048, 1024, 512, 256, 128]
     for bn in candidates_bn:
-        x_bytes = bn * d * 4
+        x_bytes = bn * d * 4 + (2 * bn * d * 2 if exact else 0)
         for groups in [g for g in range(1, m + 1) if m % g == 0]:
             buf_bytes = (m // groups) * kp * bn * 4 * 3
             if w_bytes + x_bytes + buf_bytes <= budget:
@@ -185,18 +246,18 @@ def pq_encode(
             f"quantizer reconstructs {m * ds}"
         )
 
+    exact = compute_dtype == jnp.float32
     W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype, scale=2.0)
     Wt = W.T  # (m*kp, d)
+    if exact:
+        Wt = trunc_split2_bf16_stacked(Wt)  # (2, m*kp, d) bf16
     block_n, groups = _choose_tiling(
-        m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n
+        m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n, exact=exact
     )
 
     idx_bits = max(1, (kp - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
 
-    matmul_precision = (
-        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
-    )
     kernel = functools.partial(
         _encode_kernel,
         m=m,
@@ -204,14 +265,18 @@ def pq_encode(
         groups=groups,
         idx_mask=idx_mask,
         compute_dtype=compute_dtype,
-        matmul_precision=matmul_precision,
+        matmul_precision=None,
     )
     codes_t = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(n, block_n),),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((2, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+                if exact
+                else pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),

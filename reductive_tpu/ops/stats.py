@@ -36,7 +36,13 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .assign import _round_up, pack_block_diagonal
+from .assign import (
+    _round_up,
+    pack_block_diagonal,
+    scores_3pass,
+    trunc_split2_bf16_stacked,
+    trunc_split3_bf16,
+)
 
 __all__ = ["pq_assign_stats"]
 
@@ -46,6 +52,7 @@ def _stats_kernel(
     n, m, kp, groups, idx_mask, block_n, compute_dtype, matmul_precision,
 ):
     i = pl.program_id(0)
+    exact = compute_dtype == jnp.float32
 
     @pl.when(i == 0)
     def _init():
@@ -62,16 +69,35 @@ def _stats_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (block_n, 1), 0) + i * block_n < n
     )
     x = jnp.where(valid_rows, x_ref[:], 0.0).astype(compute_dtype)  # (bn, d)
+    if exact:
+        # Exact mode, 6 MXU passes/element instead of HIGHEST x2 = 12 (the
+        # change that took exact-mode Lloyd's from 12.3M vec/s to the
+        # committed number):
+        # * the instance-sum matmul runs as three single-pass bf16
+        #   products against an exact mantissa-truncation 3-split of x —
+        #   the one-hot side is exactly 0/1 in bf16, so every product is
+        #   exact and the result matches a HIGHEST f32 matmul up to f32
+        #   accumulation order;
+        # * the score matmul runs through the same
+        #   :func:`reductive_tpu.ops.assign.scores_3pass` as the encode
+        #   kernel (bit-identical packed keys between the two kernels).
+        x_splits = trunc_split3_bf16(x)
     per = m // groups
     rows = per * kp
     for g in range(groups):
-        s = jax.lax.dot_general(
-            wt_ref[g * rows:(g + 1) * rows, :],
-            x,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=matmul_precision,
-            preferred_element_type=jnp.float32,
-        )  # (rows, bn); W holds 2c, so s is already the doubled cross term
+        sl = slice(g * rows, (g + 1) * rows)
+        if exact:
+            s = scores_3pass(
+                wt_ref[0, sl, :], wt_ref[1, sl, :], x_splits[0], x_splits[1]
+            )
+        else:
+            s = jax.lax.dot_general(
+                wt_ref[sl, :],
+                x,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=matmul_precision,
+                preferred_element_type=jnp.float32,
+            )  # (rows, bn); W holds 2c, so s is already the doubled cross term
         dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
         ib = pltpu.bitcast(dists, jnp.int32)
         c31 = jnp.int32(31)
@@ -86,22 +112,34 @@ def _stats_kernel(
         mins = jnp.min(key3, axis=1, keepdims=True)  # (per, 1, bn)
         onehot = (key3 == mins).reshape(rows, block_n).astype(compute_dtype)
         onehot = onehot * valid.astype(compute_dtype)  # zero padded columns
-        ps = jax.lax.dot_general(
-            onehot,
-            x,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=matmul_precision,
-            preferred_element_type=jnp.float32,
-        )  # (rows, d)
+        if exact:
+            onehot_b = onehot.astype(jnp.bfloat16)  # 0/1: exact in bf16
+            ps = jnp.zeros((rows, x.shape[1]), jnp.float32)
+            for xs in x_splits:
+                ps += jax.lax.dot_general(
+                    onehot_b,
+                    xs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            ps = jax.lax.dot_general(
+                onehot,
+                x,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=matmul_precision,
+                preferred_element_type=jnp.float32,
+            )  # (rows, d)
         sums_ref[g * rows:(g + 1) * rows, :] += ps
         counts_ref[g * rows:(g + 1) * rows, :] += jnp.sum(
             onehot.astype(jnp.float32), axis=1, keepdims=True
         )
 
 
-def _choose_stats_tiling(m, kp, d, compute_itemsize):
+def _choose_stats_tiling(m, kp, d, compute_itemsize, exact=False):
     """Pick (block_n, groups) within the VMEM budget: resident W + sums
-    accumulator + x tile + ~4 transient (rows, block_n) buffers."""
+    accumulator + x tile (+ the exact mode's three bf16 x-splits) + ~4
+    transient (rows, block_n) buffers."""
     budget = 13 * (1 << 20)
     w_bytes = m * kp * d * compute_itemsize
     acc_bytes = m * kp * (d + 8) * 4
@@ -109,7 +147,7 @@ def _choose_stats_tiling(m, kp, d, compute_itemsize):
     # (the kernel is VPU-bound on the one-hot build, and smaller score
     # tiles pipeline better against the two matmuls).
     for bn in (1024, 2048, 512, 256, 128):
-        x_bytes = bn * d * (4 + compute_itemsize)
+        x_bytes = bn * d * (4 + compute_itemsize) + (3 * bn * d * 2 if exact else 0)
         for groups in [g for g in range(1, m + 1) if m % g == 0]:
             rows = (m // groups) * kp
             buf_bytes = rows * bn * 4 * 4 + rows * d * 4
@@ -134,9 +172,17 @@ def pq_assign_stats(
 
     This is the Lloyd's-iteration workhorse for corpora where the
     ``(m, n, k)`` distance tensor cannot be materialized.  ``compute_dtype``
-    selects f32-exact (``precision=HIGHEST``) or bfloat16-throughput
-    matmuls; accumulation is f32 either way and counts are exact in both
-    modes (0/1 values, integer sums far below 2^24).
+    selects the f32-exact or bfloat16-throughput mode; accumulation is f32
+    either way and counts are exact in both modes (0/1 values, integer
+    sums far below 2^24).
+
+    The exact mode costs 6 MXU passes per element instead of the naive
+    HIGHEST x2 = 12: the score matmul runs at ``Precision.HIGH`` (3-pass,
+    products to ~2^-32 — far below the packed-key argmin's own 2^-15
+    tie coarsening, so assignments are unchanged), and the instance-sum
+    matmul runs as three single-pass bf16 products against an exact
+    mantissa-truncation 3-split of ``x`` (every product exact; the result
+    matches a HIGHEST f32 matmul up to f32 accumulation order).
     """
     m, k, ds = codebooks.shape
     n, d = x.shape
@@ -146,9 +192,10 @@ def pq_assign_stats(
             f"quantizer reconstructs {m * ds}"
         )
     kp_probe = _round_up(k, 8)
+    exact = compute_dtype == jnp.float32
     try:
         block_n, groups = _choose_stats_tiling(
-            m, kp_probe, d, jnp.dtype(compute_dtype).itemsize
+            m, kp_probe, d, jnp.dtype(compute_dtype).itemsize, exact=exact
         )
     except ValueError:
         if m < 2:
@@ -171,11 +218,11 @@ def pq_assign_stats(
         )
     W, c_sqn, kp = pack_block_diagonal(codebooks, compute_dtype, scale=2.0)
     Wt = W.T
+    if exact:
+        Wt = trunc_split2_bf16_stacked(Wt)  # (2, m*kp, d) bf16
     idx_bits = max(1, (kp - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
-    matmul_precision = (
-        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
-    )
+    matmul_precision = None
     kernel = functools.partial(
         _stats_kernel,
         n=n,
@@ -192,7 +239,11 @@ def pq_assign_stats(
         grid=(pl.cdiv(n, block_n),),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((2, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+                if exact
+                else pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

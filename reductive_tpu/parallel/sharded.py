@@ -185,8 +185,9 @@ def _chunked_sharded_step(
     """Build (and cache) the jitted sharded chunked training loop for a
     mesh/config.  Each device runs the fused assign+stats kernel on its
     local instance shard; only the tiny ``(m, k, ds)`` sums and ``(m, k)``
-    counts cross ICI per iteration (psum) — ~2 MB at the flagship shape,
-    which is why data-parallel scaling is essentially free."""
+    counts cross ICI per iteration (psum) — 0.147 MB at the flagship
+    shape, independent of the corpus size, which is why data-parallel
+    scaling is essentially free (measured: ``benches/scaling.py``)."""
     from ..pq.train import (
         assign_stats_streamed,
         centroids_from_stats,

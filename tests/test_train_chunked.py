@@ -219,10 +219,10 @@ def test_stats_kernel_m_split_for_large_codebooks(monkeypatch):
     m, k, ds, n = 4, 2048, 16, 400
     orig = stats_mod._choose_stats_tiling
 
-    def forced(m_, kp_, d_, itemsize):
+    def forced(m_, kp_, d_, itemsize, **kw):
         if m_ > 2:
             raise ValueError("forced split for test")
-        return orig(m_, kp_, d_, itemsize)
+        return orig(m_, kp_, d_, itemsize, **kw)
 
     monkeypatch.setattr(stats_mod, "_choose_stats_tiling", forced)
     pq_assign_stats.clear_cache()  # drop traces using the real chooser
