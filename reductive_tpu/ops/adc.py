@@ -49,8 +49,25 @@ def max_query_batch(m: int, k: int, splits=2, budget: int = 13 * (1 << 20)) -> i
     return 4
 
 
-def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits):
-    multihot = lane_multihot(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
+def lane_multihot_packed(packed, m: int, kp: int, dtype):
+    """Multi-hot from a *packed-u4* code block ``(bn, m/2)``: nibbles are
+    split in VMEM and the one-hot blocks are emitted low-nibbles-first
+    (all even subquantizers, then all odd) — the caller permutes the
+    table rows to match, so no lane interleave is ever needed (Mosaic
+    lowers lane-granular shuffles poorly)."""
+    codes_perm = jnp.concatenate([packed[:] & 0xF, (packed[:] >> 4) & 0xF], axis=1)
+    return lane_multihot(codes_perm, m, kp, dtype)
+
+
+def _packed_perm(m: int):
+    """Subquantizer-block order produced by :func:`lane_multihot_packed`:
+    even indices first, then odd."""
+    return list(range(0, m, 2)) + list(range(1, m, 2))
+
+
+def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits, packed=False):
+    mh = lane_multihot_packed if packed else lane_multihot
+    multihot = mh(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for s in range(splits):
         acc += jax.lax.dot_general(
@@ -62,7 +79,22 @@ def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("splits", "block_n", "interpret"))
+def _adc_kernel_int8_packed(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
+    """int8-LUT scoring over packed-u4 codes (the decode-style int8 kernel
+    with the packed multi-hot)."""
+    multihot = lane_multihot_packed(codes_ref[:], m, kp, jnp.int8)
+    acc = jax.lax.dot_general(
+        multihot,
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * scale_ref[0:1, :] + scale_ref[1:2, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("splits", "block_n", "interpret", "packed")
+)
 def adc_scores_kernel(
     tables: Array,
     codes: Array,
@@ -70,6 +102,7 @@ def adc_scores_kernel(
     splits: int = 2,
     block_n: int | None = None,
     interpret: bool = False,
+    packed: bool = False,
 ) -> Array:
     """ADC scores for every (query, database vector) pair via the fused
     kernel.
@@ -83,10 +116,24 @@ def adc_scores_kernel(
     ``splits=1`` is a fast serving mode (~2^-9); ``splits="int8"`` is the
     classic 8-bit-LUT serving mode — per-query symmetric table
     quantization, int8-rate matmul, int32 accumulation.
+
+    ``packed=True`` scores a **packed-u4** corpus (``(n, m/2)`` bytes from
+    :func:`reductive_tpu.ops.packing.pack_u4_codes`; requires ``k <= 16``
+    and even ``m``): nibbles are unpacked in VMEM, halving the code-side
+    HBM traffic and doubling the corpus a chip can hold.
     """
     nq, m, k = tables.shape
     n = codes.shape[0]
-    if codes.ndim != 2 or codes.shape[1] != m:
+    if packed:
+        if m % 2 != 0:
+            raise ValueError(f"packed u4 codes require even m, got {m}")
+        if k > 16:
+            raise ValueError(f"packed u4 codes require k <= 16, got {k}")
+        if codes.ndim != 2 or codes.shape[1] != m // 2:
+            raise ValueError(
+                f"packed codes have shape {codes.shape}, expected (n, {m // 2})"
+            )
+    elif codes.ndim != 2 or codes.shape[1] != m:
         raise ValueError(
             f"codes have shape {codes.shape}, expected (n, {m})"
         )
@@ -108,37 +155,50 @@ def adc_scores_kernel(
         q = jnp.round((tables - t_min) / scale[:, None, None]) - 128.0
         Ti = jnp.full((m, kp, nq), -128.0, jnp.float32)
         Ti = Ti.at[:, :k, :].set(jnp.moveaxis(q, 0, 2))
+        if packed:
+            Ti = Ti[jnp.asarray(_packed_perm(m))]
         T = jnp.clip(Ti, -128, 127).reshape(m * kp, nq).astype(jnp.int8)
         offset = jnp.sum(t_min[:, :, 0], axis=1) + 128.0 * m * scale  # (nq,)
         scale_offset = jnp.stack([scale, offset])  # (2, nq)
         n_splits, t_itemsize = 1, 1
     else:
         Tf = jnp.zeros((m, kp, nq), dtype=jnp.float32)
-        Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2)).reshape(m * kp, nq)
+        Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2))
+        if packed:
+            Tf = Tf[jnp.asarray(_packed_perm(m))]
+        Tf = Tf.reshape(m * kp, nq)
         T = split_bf16(Tf, splits)  # (splits, m*kp, nq)
         n_splits, t_itemsize = splits, 2
 
     if block_n is None:
         block_n = max(128, min(2048, (4 << 20) // (m * kp * 2) // 128 * 128))
     nqp = max(nq, 128)
+    # The kp<128 multihot path carries full-width (bn, m*kp) iota /
+    # expected i32+f32 transients on top of the multihot itself.
+    multihot_row = m * kp * 2 + (m * kp * 12 if kp < 128 else 0)
     block_n = fit_block_n(
         block_n,
         resident=n_splits * m * kp * nqp * t_itemsize,  # resident tables
-        per_row=m * kp * 2 + nqp * 4 + m * 4,           # multihot + out + codes
+        per_row=multihot_row + nqp * 4 + m * 4,         # multihot + out + codes
         what=f"nq={nq}, m={m}, k~{kp}, splits={splits}",
         fallback="batch the queries (e.g. <=256 per call) or use the "
                  "einsum scorer (reductive_tpu.search.adc_scores)",
     )
 
+    cm = m // 2 if packed else m  # code columns per row block
     if splits == "int8":
         # Identical computation to the int8 decode kernel: multi-hot @
         # quantized matrix, int32 accumulate, per-column dequant.
-        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp)
+        kernel = (
+            functools.partial(_adc_kernel_int8_packed, m=m, kp=kp)
+            if packed
+            else functools.partial(_decode_kernel_int8, m=m, kp=kp)
+        )
         out = pl.pallas_call(
             kernel,
             grid=(pl.cdiv(n, block_n),),
             in_specs=[
-                pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_n, cm), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m * kp, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -150,12 +210,14 @@ def adc_scores_kernel(
         )(codes.astype(jnp.int32), T, scale_offset)
         return out.T
 
-    kernel = functools.partial(_adc_kernel, m=m, kp=kp, splits=splits)
+    kernel = functools.partial(
+        _adc_kernel, m=m, kp=kp, splits=splits, packed=packed
+    )
     out = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(n, block_n),),
         in_specs=[
-            pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, cm), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (splits, m * kp, nq), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),

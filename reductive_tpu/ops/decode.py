@@ -40,13 +40,37 @@ __all__ = ["pq_decode", "split_bf16", "split_codebook_bf16"]
 def lane_multihot(codes, m: int, kp: int, dtype) -> Array:
     """Per-subquantizer one-hot along lanes: ``(bn, m*kp)`` with a 1 at
     lane ``j*kp + codes[i, j]`` for each subquantizer ``j``.  The in-VMEM
-    building block shared by the decode and ADC kernels."""
+    building block shared by the decode and ADC kernels.
+
+    Two constructions: for ``kp >= 128`` (full lane tiles) each segment is
+    compared separately and concatenated; for ``kp < 128`` that would pad
+    every ``(bn, kp)`` piece to 128 lanes (16 MB of transients at m=16,
+    kp=16, bn=2048 — a VMEM OOM; Mosaic also rejects the
+    ``(bn, m, kp) -> (bn, m*kp)`` reshape that would avoid it), so the
+    expected code is *broadcast per segment* by one tiny MXU dot against
+    a segment-selector matrix and compared against a segment-local iota
+    in a single full-width pass (code values < 128 are exact in bf16, so
+    the f32 equality is exact)."""
     bn = codes.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
-    return jnp.concatenate(
-        [(lane == codes[:, j][:, None]).astype(dtype) for j in range(m)],
-        axis=1,
-    )
+    if kp >= 128:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
+        return jnp.concatenate(
+            [(lane == codes[:, j][:, None]).astype(dtype) for j in range(m)],
+            axis=1,
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, m * kp), 1)
+    sub = (lane % kp).astype(jnp.float32)
+    # E[r, c] = 1 where column c belongs to segment r: expected = codes @ E.
+    colseg = jax.lax.broadcasted_iota(jnp.int32, (m, m * kp), 1) // kp
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (m, m * kp), 0)
+    E = (colseg == rowidx).astype(jnp.bfloat16)
+    expected = jax.lax.dot_general(
+        codes.astype(jnp.bfloat16),
+        E,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, m*kp): the segment's code value on every one of its lanes
+    return (sub == expected).astype(dtype)
 
 
 def fit_block_n(block_n: int, resident: int, per_row: int, what: str,
@@ -175,7 +199,8 @@ def pq_decode(
     block_n = fit_block_n(
         block_n,
         resident=n_splits * m * kp * d * w_itemsize,  # resident weights
-        per_row=m * kp * 2 + d * 8 + m * 4,           # onehot + acc/out + codes
+        # kp<128 multihot carries full-width iota/expected transients.
+        per_row=m * kp * 2 + (m * kp * 12 if kp < 128 else 0) + d * 8 + m * 4,
         what=f"m={m}, k~{kp}, d={d}, splits={splits}",
         fallback="use the gather/onehot path "
                  "(reductive_tpu.pq.primitives.reconstruct_batch)",

@@ -130,11 +130,12 @@ def adc_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "chunk", "chunk_size", "method", "splits")
+    jax.jit,
+    static_argnames=("top_k", "chunk", "chunk_size", "method", "splits", "packed"),
 )
 def _search_streamed_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk: int,
-    chunk_size: int, method: str, splits: int,
+    chunk_size: int, method: str, splits: int, packed: bool = False,
 ):
     """Top-k search without materializing the ``(nq, n)`` score matrix:
     a ``lax.scan`` over corpus chunks keeps only a running ``(nq, top_k)``
@@ -149,7 +150,9 @@ def _search_streamed_jit(
         if method == "kernel":
             from .ops.adc import adc_scores_kernel
 
-            return adc_scores_kernel(tables, codes_chunk, splits=splits)
+            return adc_scores_kernel(
+                tables, codes_chunk, splits=splits, packed=packed
+            )
         # adc_scores keeps its own inner chunking, so the one-hot
         # transient stays bounded even for large stream chunks.
         return adc_scores(tables, codes_chunk, chunk_size=chunk_size)
@@ -190,17 +193,17 @@ def _search_streamed_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "chunk_size", "method", "splits")
+    jax.jit, static_argnames=("top_k", "chunk_size", "method", "splits", "packed")
 )
 def _search_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int,
-    method: str, splits: int,
+    method: str, splits: int, packed: bool = False,
 ):
     tables = adc_tables(pq, queries)
     if method == "kernel":
         from .ops.adc import adc_scores_kernel
 
-        scores = adc_scores_kernel(tables, codes, splits=splits)
+        scores = adc_scores_kernel(tables, codes, splits=splits, packed=packed)
     else:
         scores = adc_scores(tables, codes, chunk_size=chunk_size)
     neg_dists, indices = jax.lax.top_k(-scores, top_k)
@@ -217,6 +220,7 @@ def search(
     method: str = "einsum",
     splits: int = 2,
     stream_chunk: Optional[int] = None,
+    packed: bool = False,
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` nearest encoded vectors per query by ADC.
 
@@ -226,6 +230,10 @@ def search(
     (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) — ~1.4x faster at 16
     queries and ~8x more efficient per query at 128 (full MXU lane
     utilization); ``splits`` trades table precision for speed there.
+
+    ``packed=True`` searches a **packed-u4** corpus (``(n, m/2)`` bytes,
+    :func:`reductive_tpu.ops.pack_u4_codes`; requires ``k <= 16`` and
+    ``method="kernel"``) — half the code HBM, twice the corpus per chip.
 
     ``stream_chunk`` (e.g. ``1 << 20``) switches to the scan-based
     streamed search: the ``(nq, n)`` score matrix never materializes —
@@ -244,17 +252,22 @@ def search(
         )
     if method not in ("einsum", "kernel"):
         raise ValueError(f"unknown search method {method!r}")
+    if packed and method != "kernel":
+        raise ValueError(
+            'packed-u4 codes require method="kernel" (the einsum scorer '
+            "consumes unpacked codes — see reductive_tpu.ops.unpack_u4_codes)"
+        )
 
     stream_chunk = _resolve_stream_chunk(
         queries.shape[0], codes.shape[0], stream_chunk
     )
     if stream_chunk is not None:
         one = lambda q: _search_streamed_jit(
-            pq, q, codes, top_k, stream_chunk, chunk_size, method, splits
+            pq, q, codes, top_k, stream_chunk, chunk_size, method, splits, packed
         )
     else:
         one = lambda q: _search_jit(
-            pq, q, codes, top_k, chunk_size, method, splits
+            pq, q, codes, top_k, chunk_size, method, splits, packed
         )
     # The ADC kernel keeps its table splits resident in VMEM, which caps
     # the per-call query batch (derived from the kernel's own VMEM-fit

@@ -166,7 +166,9 @@ def test_search_kernel_auto_batches_large_query_sets():
     try:
         with mock.patch(
             "reductive_tpu.ops.adc.adc_scores_kernel",
-            lambda tables, codes, splits: adc_scores(tables, codes, chunk_size=128),
+            lambda tables, codes, splits, **kw: adc_scores(
+                tables, codes, chunk_size=128
+            ),
         ):
             d_k, i_k = search(pq, queries, codes, top_k=5, method="kernel")
     finally:
@@ -250,3 +252,94 @@ def test_search_auto_streams_large_corpora(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(d_dense), np.asarray(d_auto), rtol=1e-5, atol=1e-5
     )
+
+
+def test_packed_u4_roundtrip_and_native_layout():
+    """Device pack/unpack round-trips and matches the native pack_u4 byte
+    layout (even code in the low nibble)."""
+    from reductive_tpu import native
+    from reductive_tpu.ops import pack_u4_codes, unpack_u4_codes
+
+    codes = jax.random.randint(jax.random.PRNGKey(0), (37, 8), 0, 16).astype(jnp.uint8)
+    packed = pack_u4_codes(codes)
+    assert packed.shape == (37, 4)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_u4_codes(packed)), np.asarray(codes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed).ravel(),
+        native.pack_u4(np.asarray(codes)),
+    )
+    with pytest.raises(ValueError, match="even m"):
+        pack_u4_codes(codes[:, :7])
+
+
+@pytest.mark.parametrize("splits", [2, "int8"])
+def test_adc_kernel_packed_u4(splits):
+    """Packed-u4 scoring equals unpacked scoring exactly (same tables,
+    same kernel arithmetic — only the code layout differs)."""
+    from reductive_tpu.ops import pack_u4_codes
+    from reductive_tpu.ops.adc import adc_scores_kernel
+
+    m, k, ds, n, nq = 8, 16, 4, 500, 5
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(11), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    tables = adc_tables(pq, queries)
+    ref = adc_scores_kernel(tables, codes, splits=splits, interpret=True)
+    got = adc_scores_kernel(
+        tables, pack_u4_codes(codes), splits=splits, packed=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+    with pytest.raises(ValueError, match="k <= 16"):
+        big = Pq(codebooks=jax.random.normal(kc, (2, 32, 4), dtype=jnp.float32))
+        t2 = adc_tables(big, jax.random.normal(kq, (2, 8), dtype=jnp.float32))
+        adc_scores_kernel(t2, jnp.zeros((4, 1), jnp.uint8), packed=True, interpret=True)
+
+
+def test_search_packed_u4_end_to_end():
+    """search(packed=True) returns the same neighbors as the unpacked
+    kernel search, in dense and streamed modes."""
+    from reductive_tpu.ops import pack_u4_codes
+    from reductive_tpu.search import search
+
+    m, k, ds, n, nq = 8, 16, 4, 1200, 4
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(13), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+    packed = pack_u4_codes(codes)
+
+    import unittest.mock as mock
+
+    from reductive_tpu.ops.adc import adc_scores_kernel
+    from reductive_tpu.search import _search_jit, _search_streamed_jit
+
+    # Interpret-mode kernels on the CPU test platform.
+    try:
+        with mock.patch(
+            "reductive_tpu.ops.adc.adc_scores_kernel",
+            lambda t, c, splits, packed=False: adc_scores_kernel(
+                t, c, splits=splits, packed=packed, interpret=True
+            ),
+        ):
+            d_ref, i_ref = search(pq, queries, codes, top_k=7, method="kernel")
+            d_pk, i_pk = search(
+                pq, queries, packed, top_k=7, method="kernel", packed=True
+            )
+            d_st, i_st = search(
+                pq, queries, packed, top_k=7, method="kernel", packed=True,
+                stream_chunk=256,
+            )
+    finally:
+        _search_jit.clear_cache()
+        _search_streamed_jit.clear_cache()
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pk))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_st))
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_pk), rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="kernel"):
+        search(pq, queries, packed, top_k=3, packed=True, method="einsum")
