@@ -165,6 +165,15 @@ def bench_config2(quick):
            extra={"vectors_per_sec": round(n / dt, 1)})
 
     if jax.devices()[0].platform != "cpu":
+        exact = jax.jit(
+            lambda c, x: pq_encode(c, x, dtype=jnp.uint8, compute_dtype=jnp.float32)
+        )
+        dt = timeit(exact, cb, x, iters=8)
+        record("config2_encode_1Mx128_m16_k256_kernel_f32", dt,
+               extra={"vectors_per_sec": round(n / dt, 1),
+                      "note": "f32-exact 3-pass mode"})
+
+    if jax.devices()[0].platform != "cpu":
         from reductive_tpu.ops import pq_decode
 
         codes = fast(cb, x)
@@ -273,6 +282,13 @@ def bench_config5(quick):
         dt = timeit(lambda: fn8(), iters=3)
         record("config5_adc_search_16q_int8lut", dt,
                extra={"corpus": n, "queries_x_vectors_per_sec": round(16 * n / dt, 1)})
+        # Full-lane query batch: the kernel's efficient regime.
+        q128 = jax.random.normal(kq, (128, d), dtype=jnp.float32)
+        fn128 = lambda: search(pq, q128, codes_j, top_k=10, method="kernel",
+                               splits="int8")[1]
+        dt = timeit(lambda: fn128(), iters=3)
+        record("config5_adc_search_128q_int8lut", dt,
+               extra={"corpus": n, "queries_x_vectors_per_sec": round(128 * n / dt, 1)})
 
 
 def bench_config5_decomposed(quick):
