@@ -28,7 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .assign import _round_up
-from .decode import _decode_kernel_int8, fit_block_n, lane_multihot, split_bf16
+from .decode import (
+    _decode_kernel_int8,
+    fit_block_n,
+    lane_multihot,
+    lane_multihot_packed,
+    packed_block_perm,
+    split_bf16,
+)
 
 __all__ = ["adc_scores_kernel", "max_query_batch"]
 
@@ -49,22 +56,6 @@ def max_query_batch(m: int, k: int, splits=2, budget: int = 13 * (1 << 20)) -> i
     return 4
 
 
-def lane_multihot_packed(packed, m: int, kp: int, dtype):
-    """Multi-hot from a *packed-u4* code block ``(bn, m/2)``: nibbles are
-    split in VMEM and the one-hot blocks are emitted low-nibbles-first
-    (all even subquantizers, then all odd) — the caller permutes the
-    table rows to match, so no lane interleave is ever needed (Mosaic
-    lowers lane-granular shuffles poorly)."""
-    codes_perm = jnp.concatenate([packed[:] & 0xF, (packed[:] >> 4) & 0xF], axis=1)
-    return lane_multihot(codes_perm, m, kp, dtype)
-
-
-def _packed_perm(m: int):
-    """Subquantizer-block order produced by :func:`lane_multihot_packed`:
-    even indices first, then odd."""
-    return list(range(0, m, 2)) + list(range(1, m, 2))
-
-
 def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits, packed=False):
     mh = lane_multihot_packed if packed else lane_multihot
     multihot = mh(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
@@ -77,19 +68,6 @@ def _adc_kernel(codes_ref, t_ref, out_ref, *, m, kp, splits, packed=False):
             preferred_element_type=jnp.float32,
         )
     out_ref[:] = acc
-
-
-def _adc_kernel_int8_packed(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
-    """int8-LUT scoring over packed-u4 codes (the decode-style int8 kernel
-    with the packed multi-hot)."""
-    multihot = lane_multihot_packed(codes_ref[:], m, kp, jnp.int8)
-    acc = jax.lax.dot_general(
-        multihot,
-        w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out_ref[:] = acc.astype(jnp.float32) * scale_ref[0:1, :] + scale_ref[1:2, :]
 
 
 @functools.partial(
@@ -156,7 +134,7 @@ def adc_scores_kernel(
         Ti = jnp.full((m, kp, nq), -128.0, jnp.float32)
         Ti = Ti.at[:, :k, :].set(jnp.moveaxis(q, 0, 2))
         if packed:
-            Ti = Ti[jnp.asarray(_packed_perm(m))]
+            Ti = Ti[jnp.asarray(packed_block_perm(m))]
         T = jnp.clip(Ti, -128, 127).reshape(m * kp, nq).astype(jnp.int8)
         offset = jnp.sum(t_min[:, :, 0], axis=1) + 128.0 * m * scale  # (nq,)
         scale_offset = jnp.stack([scale, offset])  # (2, nq)
@@ -165,7 +143,7 @@ def adc_scores_kernel(
         Tf = jnp.zeros((m, kp, nq), dtype=jnp.float32)
         Tf = Tf.at[:, :k, :].set(jnp.moveaxis(tables, 0, 2))
         if packed:
-            Tf = Tf[jnp.asarray(_packed_perm(m))]
+            Tf = Tf[jnp.asarray(packed_block_perm(m))]
         Tf = Tf.reshape(m * kp, nq)
         T = split_bf16(Tf, splits)  # (splits, m*kp, nq)
         n_splits, t_itemsize = splits, 2
@@ -189,11 +167,7 @@ def adc_scores_kernel(
     if splits == "int8":
         # Identical computation to the int8 decode kernel: multi-hot @
         # quantized matrix, int32 accumulate, per-column dequant.
-        kernel = (
-            functools.partial(_adc_kernel_int8_packed, m=m, kp=kp)
-            if packed
-            else functools.partial(_decode_kernel_int8, m=m, kp=kp)
-        )
+        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp, packed=packed)
         out = pl.pallas_call(
             kernel,
             grid=(pl.cdiv(n, block_n),),

@@ -73,6 +73,23 @@ def lane_multihot(codes, m: int, kp: int, dtype) -> Array:
     return (sub == expected).astype(dtype)
 
 
+def lane_multihot_packed(packed, m: int, kp: int, dtype):
+    """Multi-hot from a *packed-u4* code block ``(bn, m/2)``: nibbles are
+    split in VMEM and the one-hot blocks are emitted low-nibbles-first
+    (all even subquantizers, then all odd) — the caller permutes the
+    weight/table row blocks to match (:func:`packed_block_perm`), so no
+    lane interleave is ever needed (Mosaic lowers lane-granular shuffles
+    poorly)."""
+    codes_perm = jnp.concatenate([packed[:] & 0xF, (packed[:] >> 4) & 0xF], axis=1)
+    return lane_multihot(codes_perm, m, kp, dtype)
+
+
+def packed_block_perm(m: int):
+    """Subquantizer-block order produced by :func:`lane_multihot_packed`:
+    even indices first, then odd."""
+    return list(range(0, m, 2)) + list(range(1, m, 2))
+
+
 def fit_block_n(block_n: int, resident: int, per_row: int, what: str,
                 fallback: str, budget: int = 13 * (1 << 20)) -> int:
     """Shrink ``block_n`` until resident + block_n * per_row bytes fit the
@@ -122,8 +139,9 @@ def split_codebook_bf16(codebooks: Array, kp: int, splits: int) -> Array:
     return split_bf16(pack_block_diag_f32(codebooks, kp), splits)
 
 
-def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
-    onehot = lane_multihot(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
+def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits, packed=False):
+    mh = lane_multihot_packed if packed else lane_multihot
+    onehot = mh(codes_ref[:], m, kp, jnp.bfloat16)  # (bn, m*kp)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for s in range(splits):
         acc += jax.lax.dot_general(
@@ -135,13 +153,14 @@ def _decode_kernel(codes_ref, w_ref, out_ref, *, m, kp, splits):
     out_ref[:] = acc
 
 
-def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
+def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp, packed=False):
     """Weight-only int8: the multi-hot is exact in int8, the quantized
     matrix is built once on the host side; int32 accumulation then a
     per-column affine dequant (``scale_ref`` row 0 = scale, row 1 =
     additive offset — zero for symmetric decode weights, ``m * min`` for
     affine ADC tables)."""
-    onehot = lane_multihot(codes_ref[:], m, kp, jnp.int8)
+    mh = lane_multihot_packed if packed else lane_multihot
+    onehot = mh(codes_ref[:], m, kp, jnp.int8)
     acc = jax.lax.dot_general(
         onehot,
         w_ref[:],
@@ -152,7 +171,7 @@ def _decode_kernel_int8(codes_ref, w_ref, scale_ref, out_ref, *, m, kp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("splits", "block_n", "interpret")
+    jax.jit, static_argnames=("splits", "block_n", "interpret", "packed")
 )
 def pq_decode(
     codebooks: Array,
@@ -161,6 +180,7 @@ def pq_decode(
     splits: int | str = 3,
     block_n: int | None = None,
     interpret: bool = False,
+    packed: bool = False,
 ) -> Array:
     """Decode ``(n, m)`` codes to ``(n, d)`` reconstructions with the fused
     kernel.
@@ -173,24 +193,51 @@ def pq_decode(
     worse for columns with wide dynamic range) with the matmul at int8
     rate (measured 108.9M vs 90.9M vec/s at 1M×128).  Counterpart of the
     reference's ``reconstruct_batch`` (``src/pq/primitives.rs:150-173``).
+
+    ``packed=True`` decodes a **packed-u4** code matrix (``(n, m/2)``
+    bytes from :func:`reductive_tpu.ops.packing.pack_u4_codes`; requires
+    ``k <= 16`` and even ``m``): nibbles are unpacked in VMEM and the
+    weight row blocks are permuted to match — identical output to the
+    unpacked decode at half the code HBM.
     """
     m, k, ds = codebooks.shape
     d = m * ds
     n = codes.shape[0]
-    if codes.ndim != 2 or codes.shape[1] != m:
+    if packed:
+        if m % 2 != 0:
+            raise ValueError(f"packed u4 codes require even m, got {m}")
+        if k > 16:
+            raise ValueError(f"packed u4 codes require k <= 16, got {k}")
+        if codes.ndim != 2 or codes.shape[1] != m // 2:
+            raise ValueError(
+                f"packed codes have shape {codes.shape}, expected (n, {m // 2})"
+            )
+    elif codes.ndim != 2 or codes.shape[1] != m:
         raise ValueError(
             f"Quantization length does not match number of subquantizers: "
             f"{codes.shape} vs m={m}"
         )
     kp = _round_up(k, 8)
+
+    def _perm_rows(Wf):
+        # Reorder kp-row blocks to the packed multi-hot's lo-then-hi order.
+        return Wf.reshape(m, kp, d)[jnp.asarray(packed_block_perm(m))].reshape(
+            m * kp, d
+        )
+
     if splits == "int8":
         Wf = pack_block_diag_f32(codebooks, kp)
         scale = jnp.max(jnp.abs(Wf), axis=0) / 127.0  # per output column
+        if packed:
+            Wf = _perm_rows(Wf)
         W = jnp.round(Wf / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
         scale_offset = jnp.stack([scale, jnp.zeros_like(scale)])  # (2, d)
         n_splits, w_itemsize = 1, 1
     else:
-        W = split_codebook_bf16(codebooks, kp, splits)
+        Wf = pack_block_diag_f32(codebooks, kp)
+        if packed:
+            Wf = _perm_rows(Wf)
+        W = split_bf16(Wf, splits)
         n_splits, w_itemsize = splits, 2
 
     if block_n is None:
@@ -206,13 +253,14 @@ def pq_decode(
                  "(reductive_tpu.pq.primitives.reconstruct_batch)",
     )
 
+    cm = m // 2 if packed else m  # code columns per row block
     if splits == "int8":
-        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp)
+        kernel = functools.partial(_decode_kernel_int8, m=m, kp=kp, packed=packed)
         out = pl.pallas_call(
             kernel,
             grid=(pl.cdiv(n, block_n),),
             in_specs=[
-                pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_n, cm), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
@@ -224,12 +272,12 @@ def pq_decode(
         )(codes.astype(jnp.int32), W, scale_offset)
         return out.astype(codebooks.dtype)
 
-    kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits)
+    kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits, packed=packed)
     out = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(n, block_n),),
         in_specs=[
-            pl.BlockSpec((block_n, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, cm), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (splits, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
             ),

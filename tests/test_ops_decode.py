@@ -85,3 +85,28 @@ def test_decode_kernel_int8_mode():
     err_int8 = float(jnp.max(jnp.abs(got - exact)))
     err_bf16 = float(jnp.max(jnp.abs(fast - exact)))
     assert err_int8 < 3 * err_bf16
+
+
+def test_decode_kernel_packed_u4():
+    """Packed-u4 decode equals unpacked decode exactly (same weights,
+    permuted row blocks; only the code layout differs) — for the bit-exact
+    3-split, the bf16 fast path, and the int8 mode."""
+    from reductive_tpu.ops import pack_u4_codes
+    from reductive_tpu.ops.decode import pq_decode
+
+    m, k, ds, n = 8, 16, 4, 300
+    kc, kx = jax.random.split(jax.random.PRNGKey(4))
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    packed = pack_u4_codes(codes)
+
+    for splits in (3, 1, "int8"):
+        ref = pq_decode(cb, codes, splits=splits, interpret=True)
+        got = pq_decode(cb, packed, splits=splits, packed=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k <= 16"):
+        big = jax.random.normal(kc, (2, 32, 4), dtype=jnp.float32)
+        pq_decode(big, jnp.zeros((4, 1), jnp.uint8), packed=True, interpret=True)

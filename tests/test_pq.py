@@ -271,3 +271,26 @@ def test_quantize_reconstruct_into():
         quantize_batch_into(pq, x, jnp.zeros((n, m + 1), jnp.uint8))
     with pytest.raises(ValueError, match="expected"):
         reconstruct_batch_into(pq, codes, jnp.zeros((n + 1, m * ds), jnp.float32))
+
+
+def test_quantize_batch_kernel_f32_method():
+    """Pq.quantize_batch(method="kernel-f32") routes through the exact
+    kernel mode; on random data it matches the einsum oracle."""
+    m, k, ds, n = 4, 16, 4, 200
+    kc, kx = jax.random.split(jax.random.PRNGKey(9))
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+
+    import unittest.mock as mock
+
+    from reductive_tpu.ops import assign as assign_mod
+
+    real = assign_mod.pq_encode
+    with mock.patch(
+        "reductive_tpu.ops.assign.pq_encode",
+        lambda c, x, **kw: real(c, x, interpret=True, **kw),
+    ):
+        codes = pq.quantize_batch(x, method="kernel-f32")
+    exact = pq.quantize_batch(x)
+    agree = float(jnp.mean((codes == exact).astype(jnp.float32)))
+    assert agree > 0.995, agree
