@@ -56,18 +56,24 @@ def main() -> None:
         data = rng.standard_normal((args.n, args.d)).astype(np.float32)
         write_fvecs(corpus_path, data)
 
-        # 2. corpus-scale training (fused assign+stats kernel on TPU)
+        # 2. corpus-scale training (fused assign+stats kernel on TPU).
+        # Long jobs checkpoint every few iterations — a killed run resumes
+        # from the artifact via initial_model= (OPQ) losing at most that
+        # many alternations.
         key = jax.random.PRNGKey(42)
         train = train_opq_chunked if args.opq else train_pq_chunked
+        ckpt = os.path.join(td, "train_ckpt.npz")
         t0 = time.perf_counter()
         pq = train(
             key, jnp.asarray(data), args.m, args.bits, args.iters,
             use_kernel=on_tpu,
             compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            checkpoint_every=max(2, args.iters // 3), checkpoint_path=ckpt,
         )
         jax.block_until_ready(pq.codebooks)
         print(f"trained {'OPQ' if args.opq else 'PQ'} m={args.m} "
-              f"k={2**args.bits} in {time.perf_counter()-t0:.1f}s (incl compile)")
+              f"k={2**args.bits} in {time.perf_counter()-t0:.1f}s (incl compile); "
+              f"recovery checkpoint at {os.path.basename(ckpt)}")
 
         # 3. persist + reload the codebook artifact
         artifact = os.path.join(td, "model.npz")
@@ -99,10 +105,19 @@ def main() -> None:
             + 0.1 * rng.standard_normal((args.queries, args.d)).astype(np.float32)
         )
         codes_j = jnp.asarray(codes)
+        packed = args.bits <= 4 and args.m % 2 == 0 and on_tpu
+        if packed:
+            # 4-bit codes: pack two per byte and search the packed corpus
+            # directly (half the code HBM, same scores).
+            from reductive_tpu.ops import pack_u4_codes
+
+            codes_j = pack_u4_codes(codes_j)
+            print(f"packed u4 codes: {codes.nbytes/1e6:.1f} MB -> "
+                  f"{codes_j.nbytes / 1e6:.1f} MB")
         t0 = time.perf_counter()
         dists, idx = search(
             pq, queries, codes_j, top_k=10,
-            method="kernel" if on_tpu else "einsum",
+            method="kernel" if on_tpu else "einsum", packed=packed,
         )
         jax.block_until_ready(idx)
         dt = time.perf_counter() - t0
