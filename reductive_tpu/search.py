@@ -210,6 +210,20 @@ def _search_jit(
     return -neg_dists, indices
 
 
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _refine_jit(
+    queries: Array, corpus: Array, cand_idx: Array, top_k: int
+) -> Tuple[Array, Array]:
+    """Exact re-scoring of ADC candidates against the original vectors:
+    gather the candidate rows, compute true squared distances, and keep
+    the best ``top_k``.  O(nq * R * d) — independent of corpus size."""
+    cand = jnp.take(corpus, cand_idx, axis=0)  # (nq, R, d)
+    diff = cand.astype(jnp.float32) - queries.astype(jnp.float32)[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # (nq, R) exact distances
+    neg, sel = jax.lax.top_k(-d2, top_k)
+    return -neg, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
 def search(
     pq: Pq,
     queries: Array,
@@ -221,6 +235,8 @@ def search(
     splits: int = 2,
     stream_chunk: Optional[int] = None,
     packed: bool = False,
+    refine_with: Optional[Array] = None,
+    refine_factor: int = 4,
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` nearest encoded vectors per query by ADC.
 
@@ -234,6 +250,15 @@ def search(
     ``packed=True`` searches a **packed-u4** corpus (``(n, m/2)`` bytes,
     :func:`reductive_tpu.ops.pack_u4_codes`; requires ``k <= 16`` and
     ``method="kernel"``) — half the code HBM, twice the corpus per chip.
+
+    ``refine_with`` (an ``(n, d)`` device-resident matrix of the original
+    vectors) enables the standard two-stage refine: ADC retrieves
+    ``top_k * refine_factor`` candidates from the compressed codes, then
+    the candidates are re-scored with **exact** distances against the
+    originals and the best ``top_k`` returned — quantization error is
+    removed from the final ranking (and the returned distances are true
+    squared distances) at O(nq * top_k * refine_factor * d) extra cost,
+    independent of corpus size.
 
     ``stream_chunk`` (e.g. ``1 << 20``) switches to the scan-based
     streamed search: the ``(nq, n)`` score matrix never materializes —
@@ -252,6 +277,20 @@ def search(
         )
     if method not in ("einsum", "kernel"):
         raise ValueError(f"unknown search method {method!r}")
+    if refine_with is not None:
+        if refine_factor < 1:
+            raise ValueError("refine_factor must be >= 1")
+        if refine_with.shape[0] != codes.shape[0]:
+            raise ValueError(
+                f"refine_with has {refine_with.shape[0]} rows, codes have "
+                f"{codes.shape[0]}"
+            )
+        r = min(top_k * refine_factor, codes.shape[0])
+        _, cand_idx = search(
+            pq, queries, codes, r, chunk_size=chunk_size, method=method,
+            splits=splits, stream_chunk=stream_chunk, packed=packed,
+        )
+        return _refine_jit(queries, refine_with, cand_idx, top_k)
     if packed and method != "kernel":
         raise ValueError(
             'packed-u4 codes require method="kernel" (the einsum scorer '

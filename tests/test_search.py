@@ -343,3 +343,43 @@ def test_search_packed_u4_end_to_end():
 
     with pytest.raises(ValueError, match="kernel"):
         search(pq, queries, packed, top_k=3, packed=True, method="einsum")
+
+
+def test_search_refine_exact_rescoring():
+    """refine_with re-scores ADC candidates with exact distances: the
+    returned distances equal brute-force squared distances, and recall of
+    the true nearest neighbor is at least the pure-ADC recall (strictly
+    better on corpora where quantization error flips rankings)."""
+    m, k, ds, n, nq = 4, 8, 2, 4000, 32
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(21), 3)
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    pq = train_pq(kc, x, m, 3, 8)
+    codes = pq.quantize_batch(x)
+    # Queries = perturbed corpus rows: each has one planted true neighbor.
+    planted = np.arange(0, nq * 100, 100)
+    queries = x[planted] + 0.05 * jax.random.normal(kq, (nq, m * ds))
+
+    d_adc, i_adc = search(pq, queries, codes, top_k=1)
+    d_ref, i_ref = search(pq, queries, codes, top_k=1, refine_with=x,
+                          refine_factor=16)
+
+    # Exact distances: refined results must match brute force on top-1.
+    full = np.asarray(
+        jnp.sum((queries[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    )
+    true_nn = full.argmin(axis=1)
+    recall_adc = float(np.mean(np.asarray(i_adc)[:, 0] == true_nn))
+    recall_ref = float(np.mean(np.asarray(i_ref)[:, 0] == true_nn))
+    assert recall_ref >= recall_adc
+    assert recall_ref > 0.9
+    # Returned refined distances are true squared distances.
+    np.testing.assert_allclose(
+        np.asarray(d_ref)[:, 0],
+        full[np.arange(nq), np.asarray(i_ref)[:, 0]],
+        rtol=1e-4, atol=1e-4,
+    )
+
+    with pytest.raises(ValueError, match="rows"):
+        search(pq, queries, codes, top_k=1, refine_with=x[:-1])
+    with pytest.raises(ValueError, match="refine_factor"):
+        search(pq, queries, codes, top_k=1, refine_with=x, refine_factor=0)
