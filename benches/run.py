@@ -458,6 +458,85 @@ def bench_config6(quick):
            extra={"vectors_per_sec": round(n / dt, 1)})
 
 
+def bench_config7_ivf(quick):
+    """IVF-PQ vs exhaustive ADC at 1M x 128: wall time and recall@10
+    against exact ground truth on clustered (Gaussian-mixture) data."""
+    import numpy as np
+
+    from reductive_tpu.ivf import build_ivf, ivf_search, train_ivf_pq
+    from reductive_tpu.search import search
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    n = 100_000 if quick else 1_000_000
+    C = 256 if quick else 1024
+    d, m, bits, nq = 128, 16, 8, 16
+    kc, kn, kq, kt = jax.random.split(jax.random.PRNGKey(11), 4)
+    centers = jax.random.normal(kc, (C, d), dtype=jnp.float32) * 3.0
+    member = jax.random.randint(kn, (n,), 0, C)
+    x = jnp.take(centers, member, axis=0) + 0.3 * jax.random.normal(
+        jax.random.PRNGKey(12), (n, d), dtype=jnp.float32
+    )
+    queries = x[:: n // nq][:nq] + 0.05 * jax.random.normal(
+        kq, (nq, d), dtype=jnp.float32
+    )
+    # Exact ground truth in chunks (1M x 16 distances).
+    best = jnp.full((nq, 10), jnp.inf), jnp.zeros((nq, 10), jnp.int32)
+    step = 250_000
+    for off in range(0, n, step):
+        d2 = jnp.sum((queries[:, None, :] - x[None, off:off + step, :]) ** 2, axis=-1)
+        neg, idx = jax.lax.top_k(-d2, 10)
+        cat_d = jnp.concatenate([best[0], -neg], axis=1)
+        cat_i = jnp.concatenate([best[1], idx + off], axis=1)
+        neg2, sel = jax.lax.top_k(-cat_d, 10)
+        best = -neg2, jnp.take_along_axis(cat_i, sel, axis=1)
+    true10 = np.asarray(best[1])
+
+    t0 = time.perf_counter()
+    coarse, pq = train_ivf_pq(
+        jax.random.PRNGKey(13), x, C, m, bits, use_kernel=on_tpu,
+        coarse_iterations=8, pq_iterations=8,
+    )
+    index = build_ivf(coarse, pq, x, use_kernel=on_tpu)
+    record("config7_ivf_build_1Mx128", time.perf_counter() - t0,
+           extra={"n_cells": C, "capacity": index.capacity,
+                  "note": "train (sampled) + full assign/encode/scatter, incl compile"})
+
+    # Exhaustive ADC baseline: a flat (non-residual) PQ on the raw data.
+    from reductive_tpu.ops import pq_encode
+    from reductive_tpu import train_pq_chunked
+
+    flat_pq = train_pq_chunked(kt, x[:262_144], m, bits, 8, use_kernel=on_tpu)
+    codes_flat = (
+        pq_encode(flat_pq.codebooks, x, dtype=jnp.uint8)
+        if on_tpu else flat_pq.quantize_batch(x)
+    )
+    method = "kernel" if on_tpu else "einsum"
+    fn_ex = lambda: search(flat_pq, queries, codes_flat, top_k=10, method=method)[1]
+    dt_ex = timeit(lambda: fn_ex(), iters=2 if quick else 5)
+    i_ex = np.asarray(fn_ex())
+    recall_ex = np.mean([
+        len(set(i_ex[q]) & set(true10[q])) / 10 for q in range(nq)
+    ])
+    r1_ex = np.mean([true10[q][0] in i_ex[q] for q in range(nq)])
+    record("config7_exhaustive_adc_16q", dt_ex,
+           extra={"corpus": n, "recall10": round(float(recall_ex), 3),
+                  "one_recall_at_10": round(float(r1_ex), 3)})
+
+    for nprobe in (8, 32):
+        fn = lambda: ivf_search(index, queries, top_k=10, nprobe=nprobe)[1]
+        dt = timeit(lambda: fn(), iters=2 if quick else 5)
+        idx = np.asarray(fn())
+        recall = np.mean([
+            len(set(idx[q]) & set(true10[q])) / 10 for q in range(nq)
+        ])
+        r1 = np.mean([true10[q][0] in idx[q] for q in range(nq)])
+        record(f"config7_ivf_search_16q_nprobe{nprobe}", dt,
+               extra={"corpus": n, "recall10": round(float(recall), 3),
+                      "one_recall_at_10": round(float(r1), 3),
+                      "speedup_vs_exhaustive": round(dt_ex / dt, 2),
+                      "scanned_fraction": round(nprobe / C, 4)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CPU/CI)")
@@ -477,6 +556,7 @@ def main():
         "config5x": bench_config5_decomposed,
         "config5u4": bench_config5_u4,
         "config6": bench_config6,
+        "config7": bench_config7_ivf,
     }
     selected = args.only.split(",") if args.only else list(groups)
     for name in selected:

@@ -16,7 +16,7 @@ Top-level surface::
     )
 """
 
-from . import conformance, data, errors, io, kmeans, linalg, native, search
+from . import conformance, data, errors, io, ivf, kmeans, linalg, native, search
 from .pq import (
     Pq,
     bucket_eigenvalues,
@@ -45,6 +45,7 @@ __all__ = [
     "data",
     "errors",
     "io",
+    "ivf",
     "kmeans",
     "linalg",
     "native",

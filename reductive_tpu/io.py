@@ -28,18 +28,11 @@ from .pq.model import Pq
 __all__ = ["save", "load"]
 
 _FORMAT = "reductive-tpu-pq"
+_FORMAT_IVF = "reductive-tpu-ivfpq"
 _VERSION = 1
 
 
-def save(path: Union[str, os.PathLike], pq: Pq) -> None:
-    """Write a quantizer to ``path`` as a ``.npz`` artifact."""
-    arrays = {
-        "format": np.array(_FORMAT),
-        "version": np.array(_VERSION),
-        "codebooks": np.asarray(pq.codebooks),
-    }
-    if pq.projection is not None:
-        arrays["projection"] = np.asarray(pq.projection)
+def _atomic_savez(path, arrays) -> None:
     # Write via a buffer so a crash mid-write cannot leave a torn file,
     # then atomically replace.
     buf = _io.BytesIO()
@@ -50,6 +43,37 @@ def save(path: Union[str, os.PathLike], pq: Pq) -> None:
     os.replace(tmp, os.fspath(path))
 
 
+def save(path: Union[str, os.PathLike], pq) -> None:
+    """Write a quantizer (``Pq``) or an IVF-PQ index
+    (:class:`reductive_tpu.ivf.IvfPq`) to ``path`` as a ``.npz``
+    artifact."""
+    from .ivf import IvfPq
+
+    if isinstance(pq, IvfPq):
+        arrays = {
+            "format": np.array(_FORMAT_IVF),
+            "version": np.array(_VERSION),
+            "coarse_centroids": np.asarray(pq.coarse_centroids),
+            "codebooks": np.asarray(pq.pq.codebooks),
+            "cell_codes": np.asarray(pq.cell_codes),
+            "cell_ids": np.asarray(pq.cell_ids),
+            "cell_norms": np.asarray(pq.cell_norms),
+        }
+        if pq.pq.projection is not None:
+            arrays["projection"] = np.asarray(pq.pq.projection)
+        _atomic_savez(path, arrays)
+        return
+
+    arrays = {
+        "format": np.array(_FORMAT),
+        "version": np.array(_VERSION),
+        "codebooks": np.asarray(pq.codebooks),
+    }
+    if pq.projection is not None:
+        arrays["projection"] = np.asarray(pq.projection)
+    _atomic_savez(path, arrays)
+
+
 def load(path: Union[str, os.PathLike]) -> Pq:
     """Load a quantizer artifact written by :func:`save`.
 
@@ -58,7 +82,8 @@ def load(path: Union[str, os.PathLike]) -> Pq:
     codebooks, square projection matching the reconstructed length.
     """
     with np.load(os.fspath(path), allow_pickle=False) as data:
-        if "format" not in data or str(data["format"]) != _FORMAT:
+        fmt = str(data["format"]) if "format" in data else ""
+        if fmt not in (_FORMAT, _FORMAT_IVF):
             raise ValueError(f"{path!r} is not a reductive-tpu quantizer artifact")
         version = int(data["version"])
         if version > _VERSION:
@@ -69,4 +94,14 @@ def load(path: Union[str, os.PathLike]) -> Pq:
         projection = (
             jnp.asarray(data["projection"]) if "projection" in data.files else None
         )
+        if fmt == _FORMAT_IVF:
+            from .ivf import IvfPq
+
+            return IvfPq(
+                coarse_centroids=jnp.asarray(data["coarse_centroids"]),
+                pq=Pq(codebooks=codebooks, projection=projection),
+                cell_codes=jnp.asarray(data["cell_codes"]),
+                cell_ids=jnp.asarray(data["cell_ids"]),
+                cell_norms=jnp.asarray(data["cell_norms"]),
+            )
     return Pq(codebooks=codebooks, projection=projection)

@@ -1,0 +1,158 @@
+"""IVF-PQ tests: build invariants, exhaustive-probe equivalence, recall."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reductive_tpu import Pq, train_pq
+from reductive_tpu.ivf import IvfPq, build_ivf, ivf_search, train_ivf_pq
+
+
+def clustered_data(key, n_clusters=16, per=200, d=16, spread=0.15):
+    kc, kn = jax.random.split(key)
+    centers = jax.random.normal(kc, (n_clusters, d)) * 3.0
+    noise = jax.random.normal(kn, (n_clusters, per, d)) * spread
+    return (centers[:, None, :] + noise).reshape(-1, d).astype(jnp.float32)
+
+
+def test_build_invariants():
+    """Every corpus row lands in exactly one cell slot; stored codes are
+    the residual encodings of their rows."""
+    key = jax.random.PRNGKey(0)
+    x = clustered_data(key)
+    n = x.shape[0]
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+
+    ids = np.asarray(index.cell_ids)
+    valid = ids >= 0
+    flat = ids[valid]
+    assert len(flat) == n
+    assert len(set(flat.tolist())) == n  # every row exactly once
+
+    # Spot-check stored codes vs recomputed residual encodings.
+    from reductive_tpu.kmeans import cluster_assignments
+
+    rows = np.asarray(flat[:50])
+    assign = cluster_assignments(coarse, x[rows])
+    res = x[rows] - jnp.take(coarse, assign, axis=0)
+    expect = np.asarray(pq.quantize_batch(res))
+    got = np.asarray(index.cell_codes)[valid][:50]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_full_probe_matches_bruteforce():
+    """With nprobe = n_cells, IVF search ranks exactly like brute force
+    over the residual reconstructions (the same approximation)."""
+    key = jax.random.PRNGKey(1)
+    x = clustered_data(key, n_clusters=8, per=100)
+    C = 8
+    coarse, pq = train_ivf_pq(key, x, C, 4, 4, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+
+    kq = jax.random.PRNGKey(2)
+    queries = x[::97][:9] + 0.05 * jax.random.normal(kq, (9, x.shape[1]))
+
+    d_ivf, i_ivf = ivf_search(index, queries, top_k=5, nprobe=C)
+
+    # Brute-force oracle: approx distance to centroid + residual recon.
+    from reductive_tpu.kmeans import cluster_assignments
+
+    assign = cluster_assignments(coarse, x)
+    res = x - jnp.take(coarse, assign, axis=0)
+    codes = pq.quantize_batch(res)
+    rec = jnp.take(coarse, assign, axis=0) + pq.reconstruct_batch(codes)
+    d2 = jnp.sum((queries[:, None, :] - rec[None, :, :]) ** 2, axis=-1)
+    neg, idx = jax.lax.top_k(-d2, 5)
+    np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(idx))
+    np.testing.assert_allclose(
+        np.asarray(d_ivf), np.asarray(-neg), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_recall_with_few_probes():
+    """On clustered data, a few probes recover the planted neighbors."""
+    key = jax.random.PRNGKey(3)
+    x = clustered_data(key, n_clusters=32, per=100, d=16)
+    coarse, pq = train_ivf_pq(key, x, 32, 4, 4, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+
+    kq = jax.random.PRNGKey(4)
+    planted = np.arange(0, 3200, 100)
+    queries = x[planted] + 0.02 * jax.random.normal(kq, (32, 16))
+    _, idx = ivf_search(index, queries, top_k=10, nprobe=4)
+    recall = float(np.mean([
+        planted[q] in np.asarray(idx[q]) for q in range(len(planted))
+    ]))
+    assert recall > 0.9, recall
+
+
+def test_underfull_cells_pad_with_minus_one():
+    """top_k beyond the probed candidates pads with id=-1 / dist=+inf."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (20, 8), dtype=jnp.float32)
+    pq = train_pq(key, x, 2, 2, 4)
+    codes_dummy = pq.quantize_batch(x)
+    coarse = x[:4]  # 4 cells, ~5 rows each
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    d, i = ivf_search(index, x[:2], top_k=15, nprobe=1)
+    i = np.asarray(i)
+    d = np.asarray(d)
+    assert (i == -1).any()
+    assert np.isinf(d[i == -1]).all()
+    # Valid entries sort ascending before the padding.
+    for row_d, row_i in zip(d, i):
+        nv = (row_i >= 0).sum()
+        assert (np.diff(row_d[:nv]) >= -1e-6).all()
+
+
+def test_capacity_cap_logs_drops(caplog):
+    import logging
+
+    key = jax.random.PRNGKey(6)
+    x = clustered_data(key, n_clusters=4, per=50, d=8)
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    with caplog.at_level(logging.WARNING, logger="reductive_tpu"):
+        index = build_ivf(coarse, pq, x, capacity=10, use_kernel=False)
+    assert index.capacity == 10
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_ivf_index_is_a_pytree():
+    key = jax.random.PRNGKey(7)
+    x = clustered_data(key, n_clusters=4, per=40, d=8)
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    leaves = jax.tree_util.tree_leaves(index)
+    assert len(leaves) >= 4
+    rebuilt = jax.tree_util.tree_map(lambda a: a, index)
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt.cell_ids), np.asarray(index.cell_ids)
+    )
+
+
+def test_ivf_artifact_roundtrip(tmp_path):
+    """IvfPq persists through the io artifact and searches identically."""
+    from reductive_tpu import io as rio
+
+    key = jax.random.PRNGKey(8)
+    x = clustered_data(key, n_clusters=4, per=60, d=8)
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    path = str(tmp_path / "ivf.npz")
+    rio.save(path, index)
+    loaded = rio.load(path)
+    assert isinstance(loaded, IvfPq)
+    q = x[:3]
+    d0, i0 = ivf_search(index, q, top_k=5, nprobe=2, use_kernel=False)
+    d1, i1 = ivf_search(loaded, q, top_k=5, nprobe=2, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
