@@ -496,7 +496,7 @@ def bench_config7_ivf(quick):
         jax.random.PRNGKey(13), x, C, m, bits, use_kernel=on_tpu,
         coarse_iterations=8, pq_iterations=8,
     )
-    index = build_ivf(coarse, pq, x, use_kernel=on_tpu)
+    index = build_ivf(coarse, pq, x, capacity="auto", use_kernel=on_tpu)
     record("config7_ivf_build_1Mx128", time.perf_counter() - t0,
            extra={"n_cells": C, "capacity": index.capacity,
                   "note": "train (sampled) + full assign/encode/scatter, incl compile"})

@@ -156,3 +156,38 @@ def test_ivf_artifact_roundtrip(tmp_path):
     d1, i1 = ivf_search(loaded, q, top_k=5, nprobe=2, use_kernel=False)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_auto_capacity_overflow_placement():
+    """capacity="auto" bounds L near the mean cell size; overflow rows
+    land in secondary candidate cells (encoded against that centroid) and
+    every row is still stored exactly once."""
+    key = jax.random.PRNGKey(9)
+    x = clustered_data(key, n_clusters=8, per=150, d=8, spread=0.4)
+    n = x.shape[0]
+    coarse, pq = train_ivf_pq(key, x, 8, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, capacity="auto", use_kernel=False)
+    assert index.capacity == int(np.ceil(1.25 * n / 8))
+
+    ids = np.asarray(index.cell_ids)
+    flat = ids[ids >= 0]
+    assert len(flat) == n and len(set(flat.tolist())) == n
+
+    # Stored codes are consistent with the *storage* cell's centroid.
+    C, L = ids.shape
+    cells, slots = np.nonzero(ids >= 0)
+    rows = ids[cells, slots]
+    res = x[rows] - jnp.take(coarse, cells, axis=0)
+    expect = np.asarray(pq.quantize_batch(res))
+    np.testing.assert_array_equal(np.asarray(index.cell_codes)[cells, slots], expect)
+
+    # Search still finds planted neighbors.
+    kq = jax.random.PRNGKey(10)
+    planted = np.arange(0, n, 150)
+    queries = x[planted] + 0.02 * jax.random.normal(kq, (len(planted), 8))
+    _, idx = ivf_search(index, queries, top_k=10, nprobe=3, use_kernel=False)
+    recall = float(np.mean([
+        planted[q] in np.asarray(idx[q]) for q in range(len(planted))
+    ]))
+    assert recall > 0.8, recall
