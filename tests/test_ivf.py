@@ -191,3 +191,47 @@ def test_auto_capacity_overflow_placement():
         planted[q] in np.asarray(idx[q]) for q in range(len(planted))
     ]))
     assert recall > 0.8, recall
+
+
+def test_ivf_search_sharded_matches_single_device():
+    """Cells sharded over the virtual mesh: the merged result is at least
+    as good as the single-device search (superset of probed cells), and
+    exactly equal when nprobe covers everything."""
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.ivf import ivf_search_sharded
+
+    key = jax.random.PRNGKey(11)
+    x = clustered_data(key, n_clusters=16, per=60, d=8)
+    coarse, pq = train_ivf_pq(key, x, 16, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, capacity="auto", use_kernel=False)
+    mesh = make_mesh()  # 8 virtual CPU devices -> 2 cells per shard
+    queries = x[:6]
+
+    # Full coverage: nprobe = cells per shard probes every cell globally.
+    d_sh, i_sh = ivf_search_sharded(
+        index, queries, top_k=5, nprobe=2, mesh=mesh, use_kernel=False,
+    )
+    d_1d, i_1d = ivf_search(index, queries, top_k=5, nprobe=16,
+                            use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_1d))
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1d),
+                               rtol=1e-5, atol=1e-5)
+
+    # Partial probing: sharded candidates are a superset of the
+    # single-device probes at the same nprobe, so its top-1 distance is
+    # never worse.
+    d_sh1, _ = ivf_search_sharded(
+        index, queries, top_k=1, nprobe=1, mesh=mesh, use_kernel=False,
+    )
+    d_1d1, _ = ivf_search(index, queries, top_k=1, nprobe=1,
+                          use_kernel=False)
+    assert np.all(np.asarray(d_sh1) <= np.asarray(d_1d1) + 1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        bad = build_ivf(coarse[:10], pq, x[:100], use_kernel=False)
+        ivf_search_sharded(bad, queries, top_k=1, nprobe=1, mesh=mesh)
+    with pytest.raises(ValueError, match="per-shard"):
+        ivf_search_sharded(index, queries, top_k=1, nprobe=3, mesh=mesh)
