@@ -90,6 +90,7 @@ def train_ivf_pq(
     train_sample: Optional[int] = 262_144,
     chunk: int = 32768,
     use_kernel: Optional[bool] = None,
+    residual_quantizer: str = "pq",
 ) -> Tuple[Array, Pq]:
     """Train the two quantization stages: coarse k-means centroids and a
     PQ over the **residuals** ``x - centroid[assign(x)]``.
@@ -99,6 +100,12 @@ def train_ivf_pq(
     ``train_sample`` caps the rows used for training (both stages are
     statistical; a quarter-million rows train 4096 cells well); the full
     corpus is only touched at :func:`build_ivf` time.
+
+    ``residual_quantizer="gaussian_opq"`` learns a closed-form OPQ
+    rotation for the residual space (residual distributions are roughly
+    Gaussian, so the cheap closed-form variant fits); the returned model
+    carries the projection and both :func:`build_ivf` and
+    :func:`ivf_search` honor it transparently.
     """
     from .kmeans import (
         KMeansPlusPlusCentroids,
@@ -133,10 +140,23 @@ def train_ivf_pq(
     residuals = x_train - jnp.take(
         coarse, _assign_coarse(coarse, x_train, use_kernel), axis=0
     )
-    pq = train_pq_chunked(
-        kp, residuals, n_subquantizers, n_subquantizer_bits, pq_iterations,
-        chunk=chunk, use_kernel=use_kernel,
-    )
+    if residual_quantizer == "pq":
+        pq = train_pq_chunked(
+            kp, residuals, n_subquantizers, n_subquantizer_bits, pq_iterations,
+            chunk=chunk, use_kernel=use_kernel,
+        )
+    elif residual_quantizer == "gaussian_opq":
+        from .pq.opq import train_gaussian_opq_chunked
+
+        pq = train_gaussian_opq_chunked(
+            kp, residuals, n_subquantizers, n_subquantizer_bits, pq_iterations,
+            chunk=chunk, use_kernel=use_kernel,
+        )
+    else:
+        raise ValueError(
+            f"unknown residual_quantizer {residual_quantizer!r} "
+            '(use "pq" or "gaussian_opq")'
+        )
     return coarse, pq
 
 
@@ -266,6 +286,8 @@ def build_ivf(
         if use_kernel:
             from .ops.assign import pq_encode
 
+            if pq.projection is not None:
+                rb = jnp.dot(rb, pq.projection, precision="highest")
             cb = pq_encode(pq.codebooks, rb, dtype=dtype)
         else:
             cb = pq.quantize_batch(rb, dtype=dtype)
@@ -379,6 +401,17 @@ def _padded_topk(
 @functools.partial(
     jax.jit, static_argnames=("top_k", "nprobe", "use_kernel", "splits")
 )
+def _ivf_search_jit(
+    index: IvfPq, queries: Array, top_k: int, nprobe: int,
+    use_kernel: bool, splits,
+) -> Tuple[Array, Array]:
+    flat_scores, flat_ids = _probe_and_score(
+        queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
+        index.cell_norms, index.pq, nprobe, use_kernel, splits,
+    )
+    return _padded_topk(flat_scores, flat_ids, top_k)
+
+
 def ivf_search(
     index: IvfPq,
     queries: Array,
@@ -387,6 +420,8 @@ def ivf_search(
     nprobe: int = 8,
     use_kernel: Optional[bool] = None,
     splits: int = 2,
+    refine_with: Optional[Array] = None,
+    refine_factor: int = 4,
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` approximate neighbors per query, scanning only the
     ``nprobe`` nearest coarse cells.
@@ -404,14 +439,23 @@ def ivf_search(
     batched dot against the (rotated) queries.  The scanned fraction is
     ``nprobe / C`` of the corpus.  ``use_kernel=None`` picks the fused
     decode on TPU and the einsum decode elsewhere.
+
+    ``refine_with`` (the original ``(n, d)`` vectors, device-resident)
+    adds the exact refine stage: ``top_k * refine_factor`` IVF candidates
+    are re-scored with true squared distances and the best ``top_k``
+    returned (same contract as :func:`reductive_tpu.search.search`).
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    flat_scores, flat_ids = _probe_and_score(
-        queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
-        index.cell_norms, index.pq, nprobe, use_kernel, splits,
-    )
-    return _padded_topk(flat_scores, flat_ids, top_k)
+    if refine_with is not None:
+        from .search import _refine_jit
+
+        if refine_factor < 1:
+            raise ValueError("refine_factor must be >= 1")
+        r = top_k * refine_factor
+        _, cand = _ivf_search_jit(index, queries, r, nprobe, use_kernel, splits)
+        return _refine_jit(queries, refine_with, cand, top_k)
+    return _ivf_search_jit(index, queries, top_k, nprobe, use_kernel, splits)
 
 
 def ivf_search_sharded(

@@ -216,10 +216,13 @@ def _refine_jit(
 ) -> Tuple[Array, Array]:
     """Exact re-scoring of ADC candidates against the original vectors:
     gather the candidate rows, compute true squared distances, and keep
-    the best ``top_k``.  O(nq * R * d) — independent of corpus size."""
-    cand = jnp.take(corpus, cand_idx, axis=0)  # (nq, R, d)
+    the best ``top_k``.  O(nq * R * d) — independent of corpus size.
+    Padding candidates (``id=-1``, e.g. from an underfull IVF probe) stay
+    at ``+inf``."""
+    cand = jnp.take(corpus, cand_idx, axis=0)  # (nq, R, d); take clips ids
     diff = cand.astype(jnp.float32) - queries.astype(jnp.float32)[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)  # (nq, R) exact distances
+    d2 = jnp.where(cand_idx >= 0, d2, jnp.inf)
     neg, sel = jax.lax.top_k(-d2, top_k)
     return -neg, jnp.take_along_axis(cand_idx, sel, axis=1)
 

@@ -235,3 +235,56 @@ def test_ivf_search_sharded_matches_single_device():
         ivf_search_sharded(bad, queries, top_k=1, nprobe=1, mesh=mesh)
     with pytest.raises(ValueError, match="per-shard"):
         ivf_search_sharded(index, queries, top_k=1, nprobe=3, mesh=mesh)
+
+
+def test_ivf_opq_residuals_and_refine():
+    """residual_quantizer="gaussian_opq" carries a projection through
+    build and search; refine_with re-scores IVF candidates exactly."""
+    key = jax.random.PRNGKey(12)
+    x = clustered_data(key, n_clusters=8, per=100, d=16)
+    n = x.shape[0]
+    coarse, rpq = train_ivf_pq(
+        key, x, 8, 4, 3, use_kernel=False, train_sample=None,
+        residual_quantizer="gaussian_opq",
+    )
+    assert rpq.projection is not None
+    index = build_ivf(coarse, rpq, x, capacity="auto", use_kernel=False)
+
+    kq = jax.random.PRNGKey(13)
+    planted = np.arange(0, n, 100)
+    queries = x[planted] + 0.02 * jax.random.normal(kq, (len(planted), 16))
+
+    # Projection path: full probe matches brute force over the same
+    # approximation (centroid + R^T recon).
+    d_ivf, i_ivf = ivf_search(index, queries, top_k=5, nprobe=8,
+                              use_kernel=False)
+    ids = np.asarray(index.cell_ids)
+    cells, slots = np.nonzero(ids >= 0)
+    rows = ids[cells, slots]
+    rec = np.asarray(rpq.reconstruct_batch(
+        jnp.asarray(np.asarray(index.cell_codes)[cells, slots])
+    ))
+    approx = np.zeros_like(np.asarray(x))
+    approx[rows] = np.asarray(coarse)[cells] + rec
+    d2 = np.sum(
+        (np.asarray(queries)[:, None, :] - approx[None, :, :]) ** 2, axis=-1
+    )
+    expect_idx = np.argsort(d2, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i_ivf), expect_idx)
+
+    # Exact refine returns true distances and at-least-as-good recall.
+    d_ref, i_ref = ivf_search(index, queries, top_k=5, nprobe=8,
+                              use_kernel=False, refine_with=x,
+                              refine_factor=8)
+    full = np.sum(
+        (np.asarray(queries)[:, None, :] - np.asarray(x)[None, :, :]) ** 2,
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_ref)[:, 0],
+        full[np.arange(len(planted)), np.asarray(i_ref)[:, 0]],
+        rtol=1e-4, atol=1e-4,
+    )
+    with pytest.raises(ValueError, match="residual_quantizer"):
+        train_ivf_pq(key, x, 8, 4, 3, use_kernel=False,
+                     residual_quantizer="opq2")
