@@ -31,7 +31,7 @@ from jax import Array
 
 from .pq.model import Pq
 
-__all__ = ["adc_tables", "adc_scores", "search"]
+__all__ = ["adc_tables", "adc_scores", "adc_scores_decode", "search"]
 
 # search() auto-switches to the streamed scorer when the full (nq, n)
 # score matrix would exceed this many f32 elements (64M = 256 MB) — a
@@ -97,6 +97,51 @@ def _chunk_scores(tables_flat: Array, codes_chunk: Array, k: int) -> Array:
     return scores
 
 
+def adc_scores_decode(
+    pq: Pq, queries: Array, codes: Array, *, splits=1, use_kernel: bool = True
+) -> Array:
+    """``(nq, n)`` approximate squared distances via **decode + one dense
+    matmul**: ``||q - rec||^2 = ||q||^2 + ||rec||^2 - 2 q.rec``.
+
+    Cost model: the multihot scorer pays ``2 m kp`` FLOPs per (row,
+    query); this path pays a one-off ``2 m kp d`` per row (the decode)
+    plus ``2 d`` per (row, query) — so it wins only when the query batch
+    is large, ``nq ≳ d`` (offline batch scoring, kNN-graph
+    construction), where the decode amortizes and the scoring matmul is
+    dense.  At serving batch sizes (16–128 queries) the multihot kernel
+    is ~3x faster (measured, m=24, d=768, k=256); top-10 agreement
+    between the two is ~98% (both are ~2^-9-rounded scorings).
+    ``splits`` forwards to the decode kernel (falls back to 1 when the
+    weight splits outgrow VMEM at large ``m*k*d``).
+    """
+    cb = pq.codebooks
+    m, k, ds = cb.shape
+    d = m * ds
+    qr = (
+        jnp.dot(queries, pq.projection, precision="highest")
+        if pq.projection is not None
+        else queries
+    )
+    if use_kernel:
+        from .ops.decode import pq_decode
+
+        try:
+            rec = pq_decode(cb, codes, splits=splits)  # rotated space
+        except ValueError:
+            # Resident weight splits outgrow VMEM at large m*k*d: drop to
+            # the single-split serving decode (~2^-9, matching the bf16
+            # q.rec matmul below).
+            rec = pq_decode(cb, codes, splits=1)
+    else:
+        from .pq import primitives
+
+        rec = primitives.reconstruct_batch(cb, codes, method="gather")
+    rec_sqn = jnp.sum(rec.astype(jnp.float32) ** 2, axis=1)  # (n,)
+    q_sqn = jnp.sum(qr.astype(jnp.float32) ** 2, axis=1)     # (nq,)
+    qrec = jnp.dot(qr, rec.T, preferred_element_type=jnp.float32)
+    return q_sqn[:, None] + rec_sqn[None, :] - 2.0 * qrec
+
+
 def adc_scores(
     tables: Array, codes: Array, *, chunk_size: int = 16384
 ) -> Array:
@@ -142,7 +187,7 @@ def _search_streamed_jit(
     best-so-far carry — O(nq * (chunk + top_k)) memory regardless of
     corpus size (6.4 GB of scores at 16 queries x 100M codes otherwise).
     """
-    tables = adc_tables(pq, queries)
+    tables = adc_tables(pq, queries) if method != "decode" else None
     nq = queries.shape[0]
     n = codes.shape[0]
 
@@ -152,6 +197,11 @@ def _search_streamed_jit(
 
             return adc_scores_kernel(
                 tables, codes_chunk, splits=splits, packed=packed
+            )
+        if method == "decode":
+            return adc_scores_decode(
+                pq, queries, codes_chunk, splits=splits,
+                use_kernel=jax.default_backend() == "tpu",
             )
         # adc_scores keeps its own inner chunking, so the one-hot
         # transient stays bounded even for large stream chunks.
@@ -199,12 +249,18 @@ def _search_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int,
     method: str, splits: int, packed: bool = False,
 ):
-    tables = adc_tables(pq, queries)
     if method == "kernel":
         from .ops.adc import adc_scores_kernel
 
+        tables = adc_tables(pq, queries)
         scores = adc_scores_kernel(tables, codes, splits=splits, packed=packed)
+    elif method == "decode":
+        scores = adc_scores_decode(
+            pq, queries, codes, splits=splits,
+            use_kernel=jax.default_backend() == "tpu",
+        )
     else:
+        tables = adc_tables(pq, queries)
         scores = adc_scores(tables, codes, chunk_size=chunk_size)
     neg_dists, indices = jax.lax.top_k(-scores, top_k)
     return -neg_dists, indices
@@ -278,7 +334,7 @@ def search(
         raise ValueError(
             f"top_k={top_k} exceeds corpus size {codes.shape[0]}"
         )
-    if method not in ("einsum", "kernel"):
+    if method not in ("einsum", "kernel", "decode"):
         raise ValueError(f"unknown search method {method!r}")
     if refine_with is not None:
         if refine_factor < 1:

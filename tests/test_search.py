@@ -383,3 +383,31 @@ def test_search_refine_exact_rescoring():
         search(pq, queries, codes, top_k=1, refine_with=x[:-1])
     with pytest.raises(ValueError, match="refine_factor"):
         search(pq, queries, codes, top_k=1, refine_with=x, refine_factor=0)
+
+
+def test_search_decode_method_matches_einsum():
+    """method="decode" (decode + dense matmul scoring) returns the same
+    neighbors as the einsum scorer, dense and streamed."""
+    m, k, ds, n, nq = 4, 16, 4, 900, 5
+    kc, kx, kq = jax.random.split(jax.random.PRNGKey(31), 3)
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    codes = jax.random.randint(kx, (n, m), 0, k).astype(jnp.uint8)
+    queries = jax.random.normal(kq, (nq, m * ds), dtype=jnp.float32)
+
+    d_e, i_e = search(pq, queries, codes, top_k=7)
+    d_d, i_d = search(pq, queries, codes, top_k=7, method="decode")
+    d_s, i_s = search(pq, queries, codes, top_k=7, method="decode",
+                      stream_chunk=256)
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_d))
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_s))
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_d),
+                               rtol=1e-4, atol=1e-4)
+
+    # With a projection too (decode path rotates the queries).
+    kp = jax.random.PRNGKey(32)
+    R, _ = jnp.linalg.qr(jax.random.normal(kp, (m * ds, m * ds)))
+    pqr = Pq(codebooks=pq.codebooks, projection=R.astype(jnp.float32))
+    codes_r = pqr.quantize_batch(queries.repeat(40, axis=0))
+    d_e2, i_e2 = search(pqr, queries, codes_r, top_k=5)
+    d_d2, i_d2 = search(pqr, queries, codes_r, top_k=5, method="decode")
+    np.testing.assert_array_equal(np.asarray(i_e2), np.asarray(i_d2))
