@@ -39,6 +39,10 @@ def _encode_fn(pq: Pq, dtype, use_kernel: bool):
         from .pq import primitives
 
         def fn(codebooks, projection, x):
+            # The einsum path is the exact path: upcast a reduced wire
+            # dtype (transfer_dtype) back to the codebook dtype for
+            # compute (CPU XLA also lacks bf16 x bf16 dots).
+            x = x.astype(codebooks.dtype)
             if projection is not None:
                 x = jnp.dot(x, projection, precision="highest")
             return primitives.quantize_batch(codebooks, x, dtype=dtype)
@@ -58,6 +62,7 @@ def stream_encode_batches(
     dtype=jnp.uint8,
     use_kernel: Optional[bool] = None,
     max_in_flight: int = 2,
+    transfer_dtype=None,
 ) -> Iterator[Tuple[int, np.ndarray]]:
     """Encode a stream of ``(offset, (b, d) float32)`` batches.
 
@@ -65,6 +70,15 @@ def stream_encode_batches(
     device batches stay queued, overlapping host IO, host→device copies,
     and compute.  Batches smaller than ``batch_size`` (the tail) are
     padded on device entry and trimmed on exit.
+
+    ``transfer_dtype=jnp.bfloat16`` casts each batch on the **host**
+    before the host→device copy, halving the bytes on the wire — and the
+    host→device link is the measured bottleneck of production encode
+    pipelines (``benches/run.py --only config5x``).  The serving kernel
+    computes its cross terms in bfloat16 anyway and host/device casts
+    round identically, so on the kernel path the emitted codes are
+    **bit-identical** to an f32 transfer; only the einsum fallback and
+    projection rotation see reduced input precision.
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -79,6 +93,8 @@ def stream_encode_batches(
 
     for off, batch in batches:
         b = batch.shape[0]
+        if transfer_dtype is not None:
+            batch = np.asarray(batch).astype(transfer_dtype)  # host-side cast
         if b < batch_size:
             batch = np.concatenate(
                 [batch, np.zeros((batch_size - b, batch.shape[1]), batch.dtype)]
@@ -111,6 +127,7 @@ def stream_encode(
     use_kernel: Optional[bool] = None,
     start: int = 0,
     stop: Optional[int] = None,
+    transfer_dtype=None,
 ) -> np.ndarray:
     """Encode an entire on-disk dataset to a ``(n, m)`` code matrix.
 
@@ -128,6 +145,7 @@ def stream_encode(
         batch_size=batch_size,
         dtype=dtype,
         use_kernel=use_kernel,
+        transfer_dtype=transfer_dtype,
     ):
         out[off - start:off - start + codes.shape[0]] = codes
     return out
@@ -185,6 +203,7 @@ def stream_encode_resumable(
     dtype=jnp.uint8,
     use_kernel: Optional[bool] = None,
     flush_every: int = 4,
+    transfer_dtype=None,
 ) -> np.memmap:
     """Encode an on-disk dataset into an on-disk ``(n, m)`` code matrix,
     resuming after interruption.
@@ -245,7 +264,8 @@ def stream_encode_resumable(
     completed = start
     since_flush = 0
     for off, codes in stream_encode_batches(
-        pq, batches, batch_size=batch_size, dtype=dtype, use_kernel=use_kernel
+        pq, batches, batch_size=batch_size, dtype=dtype,
+        use_kernel=use_kernel, transfer_dtype=transfer_dtype,
     ):
         out[off : off + codes.shape[0]] = codes
         # Batches arrive in order, so the completed prefix is contiguous.
