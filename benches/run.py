@@ -375,6 +375,23 @@ def bench_config5_decomposed(quick):
             dt = time.perf_counter() - t0
         pipeline_rate = codes.shape[0] / dt
         extra = {"vectors_per_sec": round(pipeline_rate, 1)}
+
+        # Same pipeline with bfloat16 wire transfer (half the link bytes;
+        # codes bit-identical on the kernel path).  Warm the bf16-input
+        # program first — a different input dtype is a fresh compile.
+        with VecsReader(path) as r:
+            _ = stream_encode(
+                pq, r, batch_size=16_384, stop=min(n_disk, 32_768),
+                transfer_dtype=jnp.bfloat16,
+            )
+            t0 = time.perf_counter()
+            codes_bf = stream_encode(
+                pq, r, batch_size=16_384, transfer_dtype=jnp.bfloat16
+            )
+            dt_bf = time.perf_counter() - t0
+        record("config5_pipeline_768d_bf16_wire", dt_bf,
+               extra={"vectors_per_sec": round(codes_bf.shape[0] / dt_bf, 1),
+                      "codes_identical": bool((codes_bf == codes).all())})
         if device_rate:
             # The pipeline is bounded by its slowest stage; state the
             # projection for a real TPU VM host (PCIe gen4 x16 ~= 16 GB/s

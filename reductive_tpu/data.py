@@ -47,11 +47,13 @@ def _encode_fn(pq: Pq, dtype, use_kernel: bool):
                 x = jnp.dot(x, projection, precision="highest")
             return primitives.quantize_batch(codebooks, x, dtype=dtype)
 
-    # Each input batch is consumed exactly once — donate it so its HBM
-    # frees as soon as the encode reads it, keeping the pipeline's
-    # high-water at max_in_flight batches instead of 2x that (the *_into
-    # analog on the streaming path; donation is a no-op on CPU).
-    return jax.jit(fn, donate_argnums=(2,))
+    # No donation here: the (b, d) float input can never alias the much
+    # smaller (b, m) integer output, XLA already frees the batch temp at
+    # execution completion (its only reference dies when fn returns), and
+    # donating only produced a "donated buffers were not usable" warning
+    # per compile.  The *_into donation entries live on the model API,
+    # where output buffers genuinely alias.
+    return jax.jit(fn)
 
 
 def stream_encode_batches(

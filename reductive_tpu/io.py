@@ -74,10 +74,12 @@ def save(path: Union[str, os.PathLike], pq) -> None:
     _atomic_savez(path, arrays)
 
 
-def load(path: Union[str, os.PathLike]) -> Pq:
-    """Load a quantizer artifact written by :func:`save`.
+def load(path: Union[str, os.PathLike]):
+    """Load an artifact written by :func:`save`: a :class:`Pq` for
+    quantizer artifacts, an :class:`reductive_tpu.ivf.IvfPq` for IVF
+    index artifacts (dispatch on the recorded format tag).
 
-    The restored model passes the same constructor validation as
+    A restored ``Pq`` passes the same constructor validation as
     ``Pq.new`` in the reference (``src/pq/pq.rs:38-61``): non-empty
     codebooks, square projection matching the reconstructed length.
     """

@@ -349,28 +349,42 @@ def _probe_and_score(
     norms_g = jnp.take(cell_norms, probe, axis=0)             # (nq, np, L)
 
     # q.rec via decode + one batched dot (both MXU); the reconstruction
-    # lives in the residual PQ's (possibly rotated) space.
-    flat_codes = codes_g.reshape(nq * nprobe * L, m)
-    if use_kernel:
-        from .ops.decode import pq_decode
-
-        rec = pq_decode(cb, flat_codes, splits=splits)
-    else:
-        from .pq import primitives
-
-        rec = primitives.reconstruct_batch(cb, flat_codes, method="gather")
+    # lives in the residual PQ's (possibly rotated) space.  Probes are
+    # processed in chunks so the transient (nq, chunk, L, d) f32
+    # reconstruction stays under ~1 GB regardless of (nq, nprobe, L) —
+    # at 100M-scale indexes (L in the tens of thousands) the unchunked
+    # buffer would exceed HBM for even small query batches.
     qr = (
         jnp.dot(queries, pq.projection, precision="highest")
         if pq.projection is not None
         else queries
     )
-    dot = jnp.einsum(
-        "qid,qd->qi",
-        rec.reshape(nq, nprobe * L, d),
-        qr,
-        precision="highest",
-        preferred_element_type=jnp.float32,
-    ).reshape(nq, nprobe, L)
+
+    def qdot(codes_chunk):  # (nq, pc, L, m) -> (nq, pc, L)
+        pc = codes_chunk.shape[1]
+        flat = codes_chunk.reshape(nq * pc * L, m)
+        if use_kernel:
+            from .ops.decode import pq_decode
+
+            rec = pq_decode(cb, flat, splits=splits)
+        else:
+            from .pq import primitives
+
+            rec = primitives.reconstruct_batch(cb, flat, method="gather")
+        return jnp.einsum(
+            "qid,qd->qi",
+            rec.reshape(nq, pc * L, d),
+            qr,
+            precision="highest",
+            preferred_element_type=jnp.float32,
+        ).reshape(nq, pc, L)
+
+    budget = 1 << 30  # bytes of transient reconstruction
+    pc = max(1, min(nprobe, budget // max(1, nq * L * d * 4)))
+    dot = jnp.concatenate(
+        [qdot(codes_g[:, p0 : p0 + pc]) for p0 in range(0, nprobe, pc)],
+        axis=1,
+    )
 
     scores = (
         q_sqn[:, None, None] + norms_g - 2.0 * qc_g[:, :, None] - 2.0 * dot
@@ -500,6 +514,9 @@ def ivf_search_sharded(
             f"{C // n_shards}"
         )
 
+    # device_put is a no-op for arrays already laid out with the target
+    # sharding, so repeated calls on a resident index only move data the
+    # first time; the compiled program is cached per (mesh, config).
     coarse = jax.device_put(
         index.coarse_centroids, NamedSharding(mesh, P(cell_axis, None))
     )
@@ -510,6 +527,16 @@ def ivf_search_sharded(
     norms = jax.device_put(
         index.cell_norms, NamedSharding(mesh, P(cell_axis, None))
     )
+    run = _ivf_sharded_fn(mesh, cell_axis, nprobe, top_k, use_kernel, splits)
+    return run(queries, coarse, codes, ids, norms, index.pq)
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_sharded_fn(mesh, cell_axis: str, nprobe: int, top_k: int,
+                    use_kernel: bool, splits):
+    """Build (and cache) the jitted sharded IVF search for a mesh/config —
+    a fresh closure per call would re-trace and re-compile every time."""
+    from jax.sharding import PartitionSpec as P
 
     @jax.jit
     @functools.partial(
@@ -536,4 +563,4 @@ def ivf_search_sharded(
         i_flat = jnp.moveaxis(i_all, 0, 1).reshape(nq, -1)
         return _padded_topk(d_flat, i_flat, top_k)
 
-    return run(queries, coarse, codes, ids, norms, index.pq)
+    return run

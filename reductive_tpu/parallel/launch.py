@@ -33,24 +33,39 @@ __all__ = ["initialize_distributed"]
 
 _initialized = False
 
-# Environment variables that signal this process is part of a multi-host
-# deployment.  If any is set and auto-discovery still fails, silently
-# falling back to single-process would make every host train on its own
-# shard alone and produce divergent models — so we raise instead.
+# Environment variables that signal this process is part of a MULTI-host
+# deployment.  If one indicates more than one host and auto-discovery
+# still fails, silently falling back to single-process would make every
+# host train on its own shard alone and produce divergent models — so we
+# raise instead.  Signals that are also set on single-host workers
+# (TPU_WORKER_ID=0, a one-entry TPU_WORKER_HOSTNAMES) deliberately do
+# NOT trigger: a single-host deployment where the backend is already up
+# must keep the warn-and-continue behavior.
 _MULTIHOST_ENV_SIGNALS = (
-    "TPU_WORKER_HOSTNAMES",
-    "TPU_WORKER_ID",
-    "CLOUD_TPU_TASK_ID",
-    "MEGASCALE_COORDINATOR_ADDRESS",
-    "MEGASCALE_NUM_SLICES",
-    "JAX_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",        # >1 comma-separated hosts
+    "MEGASCALE_NUM_SLICES",        # >1 slices
+    "MEGASCALE_COORDINATOR_ADDRESS",  # presence = cross-slice coordination
+    "JAX_COORDINATOR_ADDRESS",     # presence = explicit launch coordination
     "COORDINATOR_ADDRESS",
 )
 
 
 def _multihost_intent() -> Optional[str]:
-    """The first environment signal indicating multi-host membership, if any."""
-    for name in _MULTIHOST_ENV_SIGNALS:
+    """The first environment signal indicating MULTI-host membership."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return "TPU_WORKER_HOSTNAMES"
+    slices = os.environ.get("MEGASCALE_NUM_SLICES", "")
+    try:
+        if int(slices) > 1:
+            return "MEGASCALE_NUM_SLICES"
+    except ValueError:
+        pass
+    for name in (
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+    ):
         if os.environ.get(name):
             return name
     return None

@@ -308,9 +308,15 @@ def assign_stats_streamed(
     if use_kernel and projection is None:
         from .. import ops
 
-        return ops.pq_assign_stats(
-            codebooks, x, compute_dtype=compute_dtype, interpret=interpret
-        )
+        try:
+            return ops.pq_assign_stats(
+                codebooks, x, compute_dtype=compute_dtype, interpret=interpret
+            )
+        except ValueError:
+            # No VMEM-feasible kernel tiling (e.g. m=1 with a very large
+            # k, where the subquantizer axis cannot split): fall back to
+            # the chunked einsum path below.
+            use_kernel = False
 
     def stats(xc):
         if projection is not None:
@@ -318,9 +324,13 @@ def assign_stats_streamed(
         if use_kernel:
             from .. import ops
 
-            return ops.pq_assign_stats(
-                codebooks, xc, compute_dtype=compute_dtype, interpret=interpret
-            )
+            try:
+                return ops.pq_assign_stats(
+                    codebooks, xc, compute_dtype=compute_dtype,
+                    interpret=interpret,
+                )
+            except ValueError:  # no VMEM-feasible tiling: einsum stats,
+                pass            # encode kernel (separately tiled) if it fits
         return _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
 
     def body(carry, xc):
@@ -401,6 +411,7 @@ def train_pq_chunked(
     projection: Optional[Array] = None,
     checkpoint_every: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
+    initial_model: Optional[Pq] = None,
 ) -> Pq:
     """Large-corpus PQ training: same semantics as :func:`train_pq`, but
     every Lloyd's iteration streams the instances chunk-by-chunk with the
@@ -420,10 +431,12 @@ def train_pq_chunked(
     ``use_kernel=None`` (default) selects the fused Pallas kernel on TPU
     and the einsum fallback elsewhere.  With ``checkpoint_every=e`` and
     ``checkpoint_path``, the current attempt's state is written atomically
-    as an :mod:`reductive_tpu.io` artifact every ``e`` iterations — a
-    recovery artifact for long corpus-scale jobs (the reference has no
-    fault handling at all, SURVEY.md §5); segmenting the loop does not
-    retrace (iteration counts are traced values).
+    as an :mod:`reductive_tpu.io` artifact every ``e`` iterations (the
+    reference has no fault handling at all, SURVEY.md §5); a killed job
+    restarts via ``initial_model=io.load(path)``, which runs the
+    remaining iterations from the saved codebooks (resume is inherently
+    single-attempt: pass ``n_attempts=1``).  Segmenting the loop does
+    not retrace (iteration counts are traced values).
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -450,10 +463,26 @@ def train_pq_chunked(
 
     sumsq = _streamed_sumsq(instances, m, chunk=chunk, projection=projection)
 
+    if initial_model is not None:
+        if n_attempts != 1:
+            raise ValueError(
+                "initial_model resume requires n_attempts=1 (the saved "
+                "state is a single attempt's codebooks)"
+            )
+        if initial_model.codebooks.shape != (m, k, ds):
+            raise ValueError(
+                f"initial_model codebooks have shape "
+                f"{initial_model.codebooks.shape}, expected {(m, k, ds)}"
+            )
+
     best_cb, best_loss = None, None
     for attempt in range(n_attempts):
         akey = jax.random.fold_in(key, attempt)
-        cb = _init_chunked_codebooks(akey, instances, projection, m=m, k=k)
+        cb = (
+            initial_model.codebooks
+            if initial_model is not None
+            else _init_chunked_codebooks(akey, instances, projection, m=m, k=k)
+        )
         loss = jnp.full((m,), jnp.inf, dtype=jnp.float32)
         done = 0
         while done < n_iterations:

@@ -41,13 +41,19 @@ _STREAM_SCORE_ELEMS = 64 * (1 << 20)
 _DEFAULT_STREAM_CHUNK = 1 << 20
 
 
-def _resolve_stream_chunk(nq: int, n: int, stream_chunk: Optional[int]) -> Optional[int]:
+def _resolve_stream_chunk(
+    nq: int, n: int, stream_chunk: Optional[int], method: str = "einsum",
+    d: int = 0,
+) -> Optional[int]:
     """The effective streaming chunk: the caller's explicit choice, or the
-    default chunk when the dense score matrix would be too large, or None
-    (dense path) otherwise."""
+    default chunk when the dense intermediates would be too large, or
+    None (dense path) otherwise.  ``method="decode"`` additionally bounds
+    the ``(n, d)`` f32 reconstruction it materializes."""
     if stream_chunk is not None:
         return stream_chunk
     if nq * n > _STREAM_SCORE_ELEMS:
+        return min(_DEFAULT_STREAM_CHUNK, n)
+    if method == "decode" and n * d > _STREAM_SCORE_ELEMS:
         return min(_DEFAULT_STREAM_CHUNK, n)
     return None
 
@@ -357,7 +363,8 @@ def search(
         )
 
     stream_chunk = _resolve_stream_chunk(
-        queries.shape[0], codes.shape[0], stream_chunk
+        queries.shape[0], codes.shape[0], stream_chunk, method,
+        pq.reconstructed_len,
     )
     if stream_chunk is not None:
         one = lambda q: _search_streamed_jit(

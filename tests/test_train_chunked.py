@@ -276,3 +276,31 @@ def test_train_pq_chunked_checkpoint_hook(tmp_path, caplog):
     assert [l.split(":")[0] for l in lines] == [
         f"Lloyd's iteration {i}" for i in range(5)
     ]
+
+
+def test_train_pq_chunked_resume_from_checkpoint(tmp_path):
+    """A killed chunked-PQ job resumes from the checkpoint artifact and
+    reproduces the uninterrupted run exactly."""
+    from reductive_tpu import io as rio
+    from reductive_tpu.pq.train import train_pq_chunked
+
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (128, 12), dtype=jnp.float32)
+    path = str(tmp_path / "pq_resume.npz")
+
+    straight = train_pq_chunked(key, x, 4, 3, 6, chunk=32, use_kernel=False)
+    train_pq_chunked(key, x, 4, 3, 4, chunk=32, use_kernel=False,
+                     checkpoint_every=2, checkpoint_path=path)
+    resumed = train_pq_chunked(
+        key, x, 4, 3, 2, chunk=32, use_kernel=False,
+        initial_model=rio.load(path),
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.codebooks), np.asarray(straight.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    import pytest
+    with pytest.raises(ValueError, match="n_attempts=1"):
+        train_pq_chunked(key, x, 4, 3, 2, 2, use_kernel=False,
+                         initial_model=rio.load(path))
