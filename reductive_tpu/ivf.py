@@ -170,6 +170,17 @@ def _assign_coarse(coarse: Array, x: Array, use_kernel: bool) -> Array:
     return cluster_assignments(coarse, x)
 
 
+@functools.partial(jax.jit, static_argnames=("A",))
+def _coarse_topk(xb: Array, coarse: Array, A: int) -> Array:
+    """Indices of the ``A`` nearest coarse centroids per row (fused under
+    jit so the distance temporaries never outlive the call)."""
+    from .linalg import squared_euclidean_distance
+
+    d2 = squared_euclidean_distance(xb, coarse)
+    _, top = jax.lax.top_k(-d2, A)
+    return top
+
+
 def _greedy_place(
     cands: np.ndarray, C: int, L: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -239,17 +250,19 @@ def build_ivf(
     n, d = instances.shape
     C = coarse.shape[0]
     m = pq.quantized_len
-    from .linalg import squared_euclidean_distance
 
     bounded = capacity is not None
     A = min(overflow_candidates, C) if bounded else 1
 
-    # Pass 1: top-A nearest coarse cells per row (one chunked matmul).
+    # Pass 1: top-A nearest coarse cells per row (one chunked, jitted
+    # matmul + top_k).  The batch is capped so the (b, C) distance
+    # matrix stays ~256 MB — at C=4096 the full 262k batch's transients
+    # exceeded HBM next to a multi-GB corpus.
+    b1 = max(8192, min(batch, (1 << 26) // max(1, C)))
     cands = np.empty((n, A), np.int64)
-    for off in range(0, n, batch):
-        d2 = squared_euclidean_distance(instances[off : off + batch], coarse)
-        _, top = jax.lax.top_k(-d2, A)
-        cands[off : off + batch] = np.asarray(top)
+    for off in range(0, n, b1):
+        top = _coarse_topk(instances[off : off + b1], coarse, A)
+        cands[off : off + b1] = np.asarray(top)
 
     counts0 = np.bincount(cands[:, 0], minlength=C)
     if capacity is None:

@@ -290,7 +290,7 @@ def assign_nearest(
     centroids: Array,
     x: Array,
     *,
-    block_n: int = 512,
+    block_n: int | None = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> Array:
