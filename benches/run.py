@@ -173,6 +173,20 @@ def bench_config2(quick):
                extra={"vectors_per_sec": round(n / dt, 1),
                       "note": "f32-exact 3-pass mode"})
 
+        if not quick:
+            # Large-batch serving: per-dispatch overhead amortizes and
+            # the kernel's true rate shows (the 1M number includes a
+            # fixed ~2-3 ms of dispatch/sync through the host link).
+            del x
+            n8 = 8_000_000
+            x8 = jax.random.normal(kx, (n8, 128), dtype=jnp.float32)
+            dt = timeit(fast, cb, x8, iters=4)
+            record("config2_encode_8Mx128_m16_k256_kernel", dt,
+                   extra={"vectors_per_sec": round(n8 / dt, 1),
+                          "note": "large-batch serving rate"})
+            del x8
+            x = jax.random.normal(kx, (n, 128), dtype=jnp.float32)
+
     if jax.devices()[0].platform != "cpu":
         from reductive_tpu.ops import pq_decode
 
