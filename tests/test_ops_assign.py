@@ -156,3 +156,4 @@ def test_kernels_wide_codebook_k_gt_256():
     # uint8 must be rejected for k > 256 (reference: primitives.rs:31-34)
     with pytest.raises(OverflowError):
         pq_encode(cb, x, dtype=jnp.uint8, interpret=True)
+
