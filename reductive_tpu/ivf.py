@@ -27,8 +27,11 @@ TPU-first design decisions:
   data-dependent shapes anywhere; :func:`ivf_search_sharded` shards the
   cells over a mesh with a tiny ``(nq, top_k)`` all-gather merge.
 
-Build is a one-time host-side pass (numpy scatter into the dense cells);
-training reuses the library's own k-means and chunked PQ trainers.
+Build runs its distance, encode, and norm passes on device, streaming
+only the tiny per-batch codes/norms back for a host-side vectorized
+scatter into the dense cells; bounded-capacity builds never lose rows
+silently (``on_overflow="spill"|"error"|"drop"``).  Training reuses the
+library's own k-means and chunked PQ trainers.
 """
 
 from __future__ import annotations
@@ -60,7 +63,10 @@ class IvfPq:
     coarse cell ``c`` (encoded from the residual ``x - centroid[c]``);
     ``cell_ids[c, l]`` is its original corpus row, or ``-1`` for an empty
     slot.  A registered pytree — flows through jit/shard_map and
-    checkpoints like any parameter structure.
+    checkpoints like any parameter structure.  :func:`build_ivf`
+    additionally sets a ``dropped_ids`` numpy attribute (build metadata,
+    not a pytree leaf): the corpus rows dropped under
+    ``on_overflow="drop"``, empty otherwise.
     """
 
     coarse_centroids: Array  # (C, d)
@@ -167,7 +173,18 @@ def _assign_coarse(coarse: Array, x: Array, use_kernel: bool) -> Array:
         return assign_nearest(coarse, x)
     from .kmeans import cluster_assignments
 
-    return cluster_assignments(coarse, x)
+    # The einsum fallback materializes an (n, C) distance block; chunk it
+    # the same way build_ivf's pass 1 caps its batch (~256 MB of f32) so
+    # assigning a 262k-row sample against 4096 cells does not allocate a
+    # 4.3 GB temporary in one shot.
+    n = x.shape[0]
+    b = max(8192, (1 << 26) // max(1, coarse.shape[0]))
+    if n <= b:
+        return cluster_assignments(coarse, x)
+    out = np.empty(n, np.int32)
+    for off in range(0, n, b):
+        out[off : off + b] = np.asarray(_coarse_topk(x[off : off + b], coarse, 1)[:, 0])
+    return jnp.asarray(out)
 
 
 @functools.partial(jax.jit, static_argnames=("A",))
@@ -182,17 +199,20 @@ def _coarse_topk(xb: Array, coarse: Array, A: int) -> Array:
 
 
 def _greedy_place(
-    cands: np.ndarray, C: int, L: int
-) -> tuple[np.ndarray, np.ndarray]:
+    cands: np.ndarray, C: int, L: int, fill: Optional[np.ndarray] = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """First-come greedy placement of each row into the nearest of its
     candidate cells with free space.  ``cands`` is ``(n, A)`` candidate
-    cells in preference order.  Returns ``(cell, slot)`` per row, ``-1``
-    where no candidate had space.  Vectorized: one stable grouping pass
+    cells in preference order.  Returns ``(cell, slot, fill)`` per row,
+    ``-1`` where no candidate had space; ``fill`` (cell occupancy, updated
+    in place when passed) lets a later spill pass continue where an
+    earlier bounded pass stopped.  Vectorized: one stable grouping pass
     per candidate rank."""
     n, A = cands.shape
     cell = np.full(n, -1, np.int64)
     slot = np.full(n, -1, np.int64)
-    fill = np.zeros(C, np.int64)
+    if fill is None:
+        fill = np.zeros(C, np.int64)
     for r in range(A):
         unplaced = np.where(cell < 0)[0]
         if len(unplaced) == 0:
@@ -211,7 +231,32 @@ def _greedy_place(
         cell[rows] = grouped[accept]
         slot[rows] = fill[grouped[accept]] + rank_in_group[accept]
         np.add.at(fill, grouped[accept], 1)
-    return cell, slot
+    return cell, slot, fill
+
+
+@functools.partial(jax.jit, static_argnames=("use_kernel", "out_dtype"))
+def _residual_encode_batch(
+    coarse: Array, pq: Pq, xb: Array, cc: Array, use_kernel: bool, out_dtype
+) -> Tuple[Array, Array]:
+    """Residual-encode one batch against its placed centroids and compute
+    the IVFADC approximation norms ``g = ||centroid + recon||^2`` — all on
+    device, so only ``(b, m)`` uint8 codes and ``(b,)`` f32 norms cross
+    back to the host (the round-2 build shipped the full ``(b, d)`` f32
+    reconstruction device-to-host per batch, which dominated the 482 s
+    10M-row build through the tunneled link)."""
+    c = jnp.take(coarse, cc, axis=0)
+    rb = xb - c
+    if use_kernel:
+        from .ops.assign import pq_encode
+
+        if pq.projection is not None:
+            rb = jnp.dot(rb, pq.projection, precision="highest")
+        codes = pq_encode(pq.codebooks, rb, dtype=out_dtype)
+    else:
+        codes = pq.quantize_batch(rb, dtype=out_dtype)
+    full = c + pq.reconstruct_batch(codes)
+    norms = jnp.einsum("nd,nd->n", full, full, precision="highest")
+    return codes, norms
 
 
 def build_ivf(
@@ -221,6 +266,7 @@ def build_ivf(
     *,
     capacity: Optional[int | str] = None,
     overflow_candidates: int = 4,
+    on_overflow: str = "spill",
     dtype=jnp.uint8,
     batch: int = 262_144,
     use_kernel: Optional[bool] = None,
@@ -228,9 +274,9 @@ def build_ivf(
     """Assign, residual-encode, and scatter the corpus into dense cells.
 
     Streaming device passes (``batch`` rows at a time: coarse
-    distances/assignment, then residual PQ encode against the *placed*
-    cell's centroid), with a host-side vectorized scatter into the
-    ``(C, L, m)`` cell tensor.
+    distances/assignment, then residual PQ encode + approximation norms,
+    both fully on device), with a host-side vectorized scatter of the
+    tiny code/norm results into the ``(C, L, m)`` cell tensor.
 
     ``capacity`` controls the cell size ``L`` — and with it both memory
     and probe cost (a probe always scans ``L`` slots):
@@ -242,9 +288,27 @@ def build_ivf(
       against *that* centroid (their approximation degrades slightly;
       they are found when their storage cell is probed).  On k-means++-
       balanced cells this cuts probe cost ~3x vs worst-cell padding.
-    * an int — explicit ``L``; same overflow placement, rows that fit
-      no candidate are dropped with a warning.
+    * an int — explicit ``L``; same overflow placement.
+
+    ``on_overflow`` decides the fate of rows that fit none of their
+    ``overflow_candidates`` nearest cells (a bounded-capacity build can
+    never lose data silently):
+
+    * ``"spill"`` (default) — a final pass places each leftover row in
+      the nearest cell *anywhere* with free space; raises ``ValueError``
+      only when total capacity ``C * L < n`` (impossible under
+      ``"auto"``, which always provisions 1.25x).
+    * ``"error"`` — raise ``ValueError`` listing the overflow count.
+    * ``"drop"`` — the round-2 behavior: log a warning and drop the
+      rows; their corpus ids are exposed programmatically as the
+      ``dropped_ids`` numpy attribute on the returned index so pipelines
+      that don't read logs can still detect an incomplete index.
     """
+    if on_overflow not in ("spill", "error", "drop"):
+        raise ValueError(
+            f'on_overflow must be "spill", "error", or "drop", '
+            f"got {on_overflow!r}"
+        )
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     n, d = instances.shape
@@ -272,56 +336,87 @@ def build_ivf(
     else:
         L = int(capacity)
 
-    cell_of, slot_of = _greedy_place(cands, C, L)
-    dropped = int((cell_of < 0).sum())
-    if dropped:
-        logger.warning(
-            "IVF build: %d rows fit none of their %d candidate cells at "
-            "capacity %d and were dropped; raise capacity or n_cells",
-            dropped, A, L,
-        )
+    cell_of, slot_of, fill = _greedy_place(cands, C, L)
+    overflowed = np.where(cell_of < 0)[0]
+    dropped_ids = np.empty(0, np.int64)
+    if len(overflowed):
+        if on_overflow == "error":
+            raise ValueError(
+                f"IVF build: {len(overflowed)} rows fit none of their {A} "
+                f"candidate cells at capacity {L}; raise capacity/n_cells, "
+                f'or use on_overflow="spill"'
+            )
+        if on_overflow == "spill":
+            free = C * L - int((cell_of >= 0).sum())
+            if free < len(overflowed):
+                raise ValueError(
+                    f"IVF build: total capacity C*L = {C * L} < n = {n}; "
+                    f"no spill placement exists — raise capacity"
+                )
+            # Preference order over ALL cells for just the leftovers
+            # (normally a handful of rows), continuing from the bounded
+            # pass's fill state.
+            cands_full = np.empty((len(overflowed), C), np.int64)
+            bf = max(1024, (1 << 26) // max(1, C))
+            for off in range(0, len(overflowed), bf):
+                rows = overflowed[off : off + bf]
+                cands_full[off : off + bf] = np.asarray(
+                    _coarse_topk(jnp.take(instances, rows, axis=0), coarse, C)
+                )
+            cell_sp, slot_sp, fill = _greedy_place(cands_full, C, L, fill)
+            cell_of[overflowed] = cell_sp
+            slot_of[overflowed] = slot_sp
+            logger.info(
+                "IVF build: %d rows spilled to the nearest cell with free "
+                "space", len(overflowed),
+            )
+        else:  # "drop"
+            dropped_ids = overflowed.astype(np.int64)
+            logger.warning(
+                "IVF build: %d rows fit none of their %d candidate cells at "
+                "capacity %d and were dropped (ids on index.dropped_ids); "
+                "raise capacity or n_cells",
+                len(overflowed), A, L,
+            )
+    dropped = len(dropped_ids)
     moved = int((cell_of[cell_of >= 0] != cands[cell_of >= 0, 0]).sum())
 
     # Pass 2: residual encode against the placed centroid + the
     # precomputed approximation norms g = ||centroid + recon||^2 of the
     # IVFADC score decomposition ||q - c - rec||^2 = ||q||^2 + g - 2 q.c
-    # - 2 q.rec (Jegou et al., 2011, Eq. 13).
+    # - 2 q.rec (Jegou et al., 2011, Eq. 13).  Device-side end to end;
+    # the host only scatters (b, m) codes + (b,) norms per batch.
     cell_codes = np.zeros((C, L, m), dtype=np.dtype(dtype))
     cell_ids = np.full((C, L), -1, dtype=np.int32)
     cell_norms = np.zeros((C, L), np.float32)
-    coarse_np = np.asarray(coarse)
     placed_rows = np.where(cell_of >= 0)[0]
     for off in range(0, len(placed_rows), batch):
         rows = placed_rows[off : off + batch]
         cc = cell_of[rows]
-        xb = instances[rows]
-        rb = xb - jnp.asarray(coarse_np[cc])
-        if use_kernel:
-            from .ops.assign import pq_encode
-
-            if pq.projection is not None:
-                rb = jnp.dot(rb, pq.projection, precision="highest")
-            cb = pq_encode(pq.codebooks, rb, dtype=dtype)
-        else:
-            cb = pq.quantize_batch(rb, dtype=dtype)
-        rec = pq.reconstruct_batch(cb)
-        full = coarse_np[cc] + np.asarray(rec)
-        cell_codes[cc, slot_of[rows]] = np.asarray(cb)
+        codes_b, norms_b = _residual_encode_batch(
+            coarse, pq, jnp.take(instances, rows, axis=0), jnp.asarray(cc),
+            use_kernel, jnp.dtype(dtype),
+        )
+        cell_codes[cc, slot_of[rows]] = np.asarray(codes_b)
         cell_ids[cc, slot_of[rows]] = rows
-        cell_norms[cc, slot_of[rows]] = np.einsum("nd,nd->n", full, full)
+        cell_norms[cc, slot_of[rows]] = np.asarray(norms_b)
 
     logger.info(
         "IVF build: %d rows -> %d cells, capacity %d (mean %.0f, util "
         "%.0f%%, %d rows in secondary cells)",
         n, C, L, counts0.mean(), 100.0 * (n - dropped) / (C * L), moved,
     )
-    return IvfPq(
+    index = IvfPq(
         coarse_centroids=coarse,
         pq=pq,
         cell_codes=jnp.asarray(cell_codes),
         cell_ids=jnp.asarray(cell_ids),
         cell_norms=jnp.asarray(cell_norms),
     )
+    # Build metadata, not part of the pytree: empty unless on_overflow=
+    # "drop" actually dropped rows.
+    index.dropped_ids = dropped_ids
+    return index
 
 
 def _probe_and_score(

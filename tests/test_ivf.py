@@ -111,17 +111,69 @@ def test_underfull_cells_pad_with_minus_one():
         assert (np.diff(row_d[:nv]) >= -1e-6).all()
 
 
-def test_capacity_cap_logs_drops(caplog):
+def test_capacity_cap_overflow_modes(caplog):
+    """A bounded build can never lose rows silently: "drop" warns AND
+    exposes the ids programmatically, "error" raises, "spill" with
+    insufficient total capacity raises instead of dropping."""
     import logging
 
     key = jax.random.PRNGKey(6)
     x = clustered_data(key, n_clusters=4, per=50, d=8)
+    n = x.shape[0]
     coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
                               train_sample=None)
+    # C*L = 40 < n = 200: only "drop" can produce an index at all.
     with caplog.at_level(logging.WARNING, logger="reductive_tpu"):
-        index = build_ivf(coarse, pq, x, capacity=10, use_kernel=False)
+        index = build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                          on_overflow="drop")
     assert index.capacity == 10
     assert any("dropped" in r.message for r in caplog.records)
+    ids = np.asarray(index.cell_ids)
+    placed = ids[ids >= 0]
+    assert index.dropped_ids.size == n - len(placed) > 0
+    # dropped + placed partition the corpus exactly.
+    assert (
+        sorted(placed.tolist() + index.dropped_ids.tolist())
+        == list(range(n))
+    )
+
+    with pytest.raises(ValueError, match="candidate cells"):
+        build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                  on_overflow="error")
+    with pytest.raises(ValueError, match="no spill placement"):
+        build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                  on_overflow="spill")
+    with pytest.raises(ValueError, match="on_overflow"):
+        build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                  on_overflow="panic")
+
+
+def test_spill_places_every_row():
+    """With total capacity >= n, the default on_overflow="spill" stores
+    every corpus row exactly once even when the per-candidate greedy pass
+    overflows, and the stored codes match the storage cell's centroid."""
+    key = jax.random.PRNGKey(60)
+    x = clustered_data(key, n_clusters=4, per=50, d=8, spread=0.3)
+    n = x.shape[0]
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    # Exact-fit total capacity with few overflow candidates: the bounded
+    # pass is guaranteed to leave leftovers on clustered data, the spill
+    # pass must place them all.
+    index = build_ivf(coarse, pq, x, capacity=50, overflow_candidates=2,
+                      use_kernel=False)
+    assert index.dropped_ids.size == 0
+    ids = np.asarray(index.cell_ids)
+    flat = ids[ids >= 0]
+    assert len(flat) == n and len(set(flat.tolist())) == n
+
+    cells, slots = np.nonzero(ids >= 0)
+    rows = ids[cells, slots]
+    res = x[rows] - jnp.take(coarse, cells, axis=0)
+    expect = np.asarray(pq.quantize_batch(res))
+    np.testing.assert_array_equal(
+        np.asarray(index.cell_codes)[cells, slots], expect
+    )
 
 
 def test_ivf_index_is_a_pytree():
