@@ -176,19 +176,23 @@ def _model_fingerprint(pq: Pq, reader, batch_size: int, dtype) -> str:
     # stale prefix.  Content-based only — mtime is deliberately excluded so
     # an rsync/copy of an identical file (which may not preserve
     # timestamps) keeps its completed progress.  Size plus head, tail, and
-    # a few fixed interior samples catch regeneration, including
-    # middle-of-file changes that preserve the length.
+    # 64 interior 1 KB windows at pseudo-random offsets (seeded from the
+    # size, so the same file always hashes the same bytes) catch
+    # regeneration anywhere in the file: a same-size corpus with different
+    # contents has < 2^-40 odds of leaving all ~72 KB of sampled windows
+    # untouched unless the change is narrowly targeted between them.
     path = getattr(reader, "path", None)
     if path is not None and os.path.exists(path):
         st = os.stat(path)
         h.update(f"{os.path.basename(path)}:{st.st_size}".encode())
         with open(path, "rb") as f:
             h.update(f.read(4096))
-            # Fixed fractional offsets (deterministic for a given size).
-            for frac in (0.25, 0.5, 0.75):
-                off = int(st.st_size * frac)
-                if 4096 < off < st.st_size - 4096:
-                    f.seek(off)
+            interior = st.st_size - 8192
+            if interior > 0:
+                rs = np.random.RandomState(st.st_size % (2**32))
+                offs = np.sort(rs.randint(0, max(1, interior), size=64))
+                for off in offs:
+                    f.seek(4096 + int(off))
                     h.update(f.read(1024))
             if st.st_size > 8192:
                 f.seek(-4096, os.SEEK_END)
