@@ -23,22 +23,28 @@ from .pq import (
     create_projection_matrix,
     train_gaussian_opq,
     train_gaussian_opq_chunked,
+    train_gaussian_opq_streamed,
     train_opq,
     train_opq_chunked,
+    train_opq_streamed,
     train_pq,
     train_pq_chunked,
+    train_pq_streamed,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.9.0"
 
 __all__ = [
     "Pq",
     "train_pq",
     "train_pq_chunked",
+    "train_pq_streamed",
     "train_opq",
     "train_opq_chunked",
+    "train_opq_streamed",
     "train_gaussian_opq",
     "train_gaussian_opq_chunked",
+    "train_gaussian_opq_streamed",
     "bucket_eigenvalues",
     "conformance",
     "create_projection_matrix",

@@ -169,6 +169,27 @@ class VecsReader:
             out[:] = rows.view(self._dtype).reshape(count, self.dim)
         return out
 
+    def read_rows(self, indices) -> np.ndarray:
+        """Scattered rows by index as a float32 ``(len(indices), dim)``
+        array — the initial-centroid fetch of the streamed trainers.
+        Single-threaded per row (thread-pool spawn would dominate 1-row
+        reads); the mmap page cache makes repeated draws cheap."""
+        indices = np.asarray(indices, dtype=np.int64)
+        if indices.size and (indices.min() < 0 or indices.max() >= self.n):
+            raise IndexError(f"row index out of bounds for {self.n} rows")
+        out = np.empty((len(indices), self.dim), dtype=np.float32)
+        if self._handle is not None:
+            row = np.empty((self.dim,), dtype=np.float32)
+            p = row.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            for i, ix in enumerate(indices):
+                if _lib.vecs_read_f32(self._handle, int(ix), 1, p, 1) != 0:
+                    raise OSError("native vecs_read_f32 failed")
+                out[i] = row
+        else:
+            rows = self._mm.reshape(self.n, self._row_bytes)[indices, 4:]
+            out[:] = rows.view(self._dtype).reshape(len(indices), self.dim)
+        return out
+
     def batches(self, batch_size: int, start: int = 0, stop: Optional[int] = None):
         """Yield ``(offset, float32 batch)`` pairs over ``[start, stop)``."""
         stop = self.n if stop is None else min(stop, self.n)
@@ -287,12 +308,21 @@ def unpack_u4(packed: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def write_fvecs(path: str, data: np.ndarray) -> None:
-    """Write a float32 ``(n, dim)`` array in fvecs format (test/data prep)."""
+def write_fvecs(path: str, data: np.ndarray, *, append: bool = False) -> None:
+    """Write a float32 ``(n, dim)`` array in fvecs format (test/data prep).
+
+    Vectorized: the per-row ``dim`` header is interleaved through an int32
+    view of one ``(chunk, dim+1)`` buffer, so multi-GB corpora write at
+    disk speed instead of a per-row Python loop.  ``append=True`` extends
+    an existing file (rows must share the same ``dim``) — how the >HBM
+    benchmark corpus is generated chunk by chunk."""
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, dim = data.shape
-    with open(path, "wb") as f:
-        header = np.asarray([dim], dtype=np.int32).tobytes()
-        for i in range(n):
-            f.write(header)
-            f.write(data[i].tobytes())
+    chunk = max(1, (1 << 26) // (dim + 1))
+    with open(path, "ab" if append else "wb") as f:
+        for off in range(0, n, chunk):
+            rows = data[off : off + chunk]
+            buf = np.empty((rows.shape[0], dim + 1), np.float32)
+            buf.view(np.int32)[:, 0] = dim
+            buf[:, 1:] = rows
+            buf.tofile(f)

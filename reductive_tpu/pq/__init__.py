@@ -25,6 +25,12 @@ from .opq import (
     train_opq,
     train_opq_chunked,
 )
+from .streamed import (
+    streamed_covariance,
+    train_gaussian_opq_streamed,
+    train_opq_streamed,
+    train_pq_streamed,
+)
 from .train import train_pq, train_pq_chunked
 from .traits import GaussianOpq, Opq, PqTrainer, entropy_key
 
@@ -39,10 +45,14 @@ __all__ = [
     "primitives",
     "train_pq",
     "train_pq_chunked",
+    "train_pq_streamed",
     "train_opq",
     "train_opq_chunked",
+    "train_opq_streamed",
     "train_gaussian_opq",
     "train_gaussian_opq_chunked",
+    "train_gaussian_opq_streamed",
+    "streamed_covariance",
     "bucket_eigenvalues",
     "create_projection_matrix",
 ]

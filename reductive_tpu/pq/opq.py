@@ -110,7 +110,14 @@ def create_projection_matrix(instances: Array, n_subquantizers: int) -> Array:
         "Creating projection matrix (%d instances, %d dimensions, %d subquantizers)",
         instances.shape[0], instances.shape[1], n_subquantizers,
     )
-    cov = covariance(instances, 0)
+    return projection_from_covariance(covariance(instances, 0), n_subquantizers)
+
+
+def projection_from_covariance(cov: Array, n_subquantizers: int) -> Array:
+    """The eigendecompose-and-bucket half of :func:`create_projection_matrix`
+    for callers that already hold the covariance matrix — e.g. the
+    host-streamed trainers, which accumulate it over disk batches without
+    ever materializing the corpus in HBM."""
     eigen_values, eigen_vectors = jnp.linalg.eigh(cov)
     buckets = bucket_eigenvalues(np.asarray(eigen_values), n_subquantizers)
     permutation = np.array([idx for bucket in buckets for idx in bucket], dtype=np.int32)
