@@ -320,13 +320,23 @@ def build_ivf(
 
     # Pass 1: top-A nearest coarse cells per row (one chunked, jitted
     # matmul + top_k).  The batch is capped so the (b, C) distance
-    # matrix stays ~256 MB — at C=4096 the full 262k batch's transients
-    # exceeded HBM next to a multi-GB corpus.
-    b1 = max(8192, min(batch, (1 << 26) // max(1, C)))
-    cands = np.empty((n, A), np.int64)
-    for off in range(0, n, b1):
-        top = _coarse_topk(instances[off : off + b1], coarse, A)
-        cands[off : off + b1] = np.asarray(top)
+    # matrix stays ~1 GB of transients — at C=4096 that is 64k rows per
+    # dispatch.  Results accumulate ON DEVICE and cross to the host in
+    # ONE fetch: every device-to-host materialization pays the link's
+    # full round-trip latency (~1.4 s through a tunneled chip — a
+    # per-batch fetch made a 10M-row build spend ~10 minutes idling),
+    # and narrow dtype (int16 when C allows) halves the one transfer.
+    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
+    tops = [
+        _coarse_topk(instances[off : off + b1], coarse, A)
+        for off in range(0, n, b1)
+    ]
+    cands_dev = jnp.concatenate(tops, axis=0)
+    del tops
+    if C <= 32767:
+        cands_dev = cands_dev.astype(jnp.int16)
+    cands = np.asarray(cands_dev).astype(np.int32)
+    del cands_dev
 
     counts0 = np.bincount(cands[:, 0], minlength=C)
     if capacity is None:
@@ -353,22 +363,37 @@ def build_ivf(
                     f"IVF build: total capacity C*L = {C * L} < n = {n}; "
                     f"no spill placement exists — raise capacity"
                 )
-            # Preference order over ALL cells for just the leftovers
-            # (normally a handful of rows), continuing from the bounded
-            # pass's fill state.
-            cands_full = np.empty((len(overflowed), C), np.int64)
-            bf = max(1024, (1 << 26) // max(1, C))
-            for off in range(0, len(overflowed), bf):
-                rows = overflowed[off : off + bf]
-                cands_full[off : off + bf] = np.asarray(
-                    _coarse_topk(jnp.take(instances, rows, axis=0), coarse, C)
-                )
-            cell_sp, slot_sp, fill = _greedy_place(cands_full, C, L, fill)
-            cell_of[overflowed] = cell_sp
-            slot_of[overflowed] = slot_sp
+            # Rank only the cells that still HAVE free space (usually a
+            # small subset), not all C: a full (rows, C) preference
+            # matrix at 370k leftover rows was ~6 GB of device-to-host
+            # transfer.  Rows whose ranked cells fill up mid-pass retry
+            # against the shrunken space set; each pass places at least
+            # the earliest-ordered rows, so this terminates.
+            remaining = overflowed
+            n_spilled = len(remaining)
+            while len(remaining):
+                space_cells = np.where(fill < L)[0]
+                sub = jnp.take(coarse, space_cells.astype(np.int32), axis=0)
+                Asp = int(min(len(space_cells), 16))
+                bf = max(8192, (1 << 26) // max(1, len(space_cells)))
+                csp = np.empty((len(remaining), Asp), np.int64)
+                for off in range(0, len(remaining), bf):
+                    rows = remaining[off : off + bf]
+                    csp[off : off + bf] = np.asarray(
+                        _coarse_topk(
+                            jnp.take(instances, rows.astype(np.int32), axis=0),
+                            sub, Asp,
+                        )
+                    )
+                cands_sp = space_cells[csp]  # map back to global cell ids
+                cell_sp, slot_sp, fill = _greedy_place(cands_sp, C, L, fill)
+                ok = cell_sp >= 0
+                cell_of[remaining[ok]] = cell_sp[ok]
+                slot_of[remaining[ok]] = slot_sp[ok]
+                remaining = remaining[~ok]
             logger.info(
                 "IVF build: %d rows spilled to the nearest cell with free "
-                "space", len(overflowed),
+                "space", n_spilled,
             )
         else:  # "drop"
             dropped_ids = overflowed.astype(np.int64)
@@ -389,17 +414,31 @@ def build_ivf(
     cell_codes = np.zeros((C, L, m), dtype=np.dtype(dtype))
     cell_ids = np.full((C, L), -1, dtype=np.int32)
     cell_norms = np.zeros((C, L), np.float32)
+    # Same single-fetch discipline as pass 1: per-batch device work
+    # (host-to-device index uploads are async and cheap), one
+    # device-side concatenation, one (P, m)-codes + one (P,)-norms
+    # fetch, then one vectorized host scatter into the cells.
     placed_rows = np.where(cell_of >= 0)[0]
+    codes_parts, norms_parts = [], []
     for off in range(0, len(placed_rows), batch):
         rows = placed_rows[off : off + batch]
         cc = cell_of[rows]
         codes_b, norms_b = _residual_encode_batch(
-            coarse, pq, jnp.take(instances, rows, axis=0), jnp.asarray(cc),
+            coarse, pq,
+            jnp.take(instances, rows.astype(np.int32), axis=0),
+            jnp.asarray(cc.astype(np.int32)),
             use_kernel, jnp.dtype(dtype),
         )
-        cell_codes[cc, slot_of[rows]] = np.asarray(codes_b)
-        cell_ids[cc, slot_of[rows]] = rows
-        cell_norms[cc, slot_of[rows]] = np.asarray(norms_b)
+        codes_parts.append(codes_b)
+        norms_parts.append(norms_b)
+    codes_all = np.asarray(jnp.concatenate(codes_parts, axis=0))
+    norms_all = np.asarray(jnp.concatenate(norms_parts, axis=0))
+    del codes_parts, norms_parts
+    cc_all = cell_of[placed_rows]
+    slots_all = slot_of[placed_rows]
+    cell_codes[cc_all, slots_all] = codes_all
+    cell_ids[cc_all, slots_all] = placed_rows
+    cell_norms[cc_all, slots_all] = norms_all
 
     logger.info(
         "IVF build: %d rows -> %d cells, capacity %d (mean %.0f, util "
