@@ -10,13 +10,14 @@
 """
 
 from .adc import adc_scores_kernel
-from .assign import assign_nearest, pq_encode
+from .assign import assign_nearest, pq_encode, pq_encode_verified
 from .decode import pq_decode
 from .packing import pack_u4_codes, unpack_u4_codes
 from .stats import pq_assign_stats
 
 __all__ = [
     "pq_encode",
+    "pq_encode_verified",
     "pq_decode",
     "assign_nearest",
     "pq_assign_stats",

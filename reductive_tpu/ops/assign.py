@@ -48,7 +48,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pq_encode", "assign_nearest", "pack_block_diagonal"]
+__all__ = ["pq_encode", "pq_encode_verified", "assign_nearest", "pack_block_diagonal"]
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -284,6 +284,179 @@ def pq_encode(
         interpret=interpret,
     )(x, Wt, c_sqn)
     return codes_t.T.astype(dtype)
+
+
+def _encode_verify_kernel(x_ref, wt_ref, csqn_ref, esq_ref, codes_ref,
+                          flags_ref, *, m, kp, groups, idx_mask, block_n):
+    """Exact-mode encode + per-row verification flags.
+
+    Identical 3-pass score/argmin math to :func:`_encode_kernel`'s exact
+    path, plus: the f32 top-2 margin of every (row, subquantizer) is
+    compared against a sound bound on the 3-pass split error
+    (``B_j = e_j * ||x_j||`` with ``e_j = 2^-14 * max_c ||2 c_jc||``
+    precomputed on the host).  A row is flagged when ANY subquantizer's
+    margin is within ``2B`` — only for those can the split error (or the
+    packed-key tie coarsening) have changed the argmin, so re-scoring
+    just the flagged rows with the exact einsum yields the bit-exact
+    f32 result (measured flag rate ~3% of rows at m=16, k=256 Gaussian).
+    """
+    i = pl.program_id(0)
+    x32 = x_ref[:]
+    x_hi, x_mid, _ = trunc_split3_bf16(x32.astype(jnp.float32))
+    bn = x32.shape[0]
+    d = x32.shape[1]
+    ds = d // m
+    # ||x_j||^2 per (subquantizer, row): selector matmul (m, d) @ (bn, d)^T.
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // ds
+        == jax.lax.broadcasted_iota(jnp.int32, (m, d), 0)
+    ).astype(jnp.float32)
+    xn2 = jax.lax.dot_general(
+        sel, x32 * x32, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (m, bn)
+
+    per = m // groups
+    rows = per * kp
+    rowflag = jnp.zeros((1, bn), jnp.int32)
+    for g in range(groups):
+        sl = slice(g * rows, (g + 1) * rows)
+        s = scores_3pass(wt_ref[0, sl, :], wt_ref[1, sl, :], x_hi, x_mid)
+        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
+        ib = pltpu.bitcast(dists, jnp.int32)
+        c31 = jnp.int32(31)
+        c1 = jnp.int32(1)
+        key = ib ^ jax.lax.shift_right_logical(
+            jax.lax.shift_right_arithmetic(ib, c31), c1
+        )
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % kp
+        key = (key & ~idx_mask) | seg_iota
+        key3 = key.reshape(per, kp, bn)
+        kmins = jnp.min(key3, axis=1, keepdims=True)
+        onehot = key3 == kmins  # exactly one winner per (sq, row)
+        d3 = dists.reshape(per, kp, bn)
+        m1 = jnp.min(jnp.where(onehot, d3, jnp.inf), axis=1)  # dist AT winner
+        m2 = jnp.min(jnp.where(onehot, jnp.inf, d3), axis=1)  # best other
+        margin = m2 - m1  # negative if coarsened tie-break beat a lower dist
+        sm = margin * jnp.abs(margin)  # signed square: negatives always flag
+        bound = 4.0 * esq_ref[g * per:(g + 1) * per, :] * xn2[
+            g * per:(g + 1) * per, :
+        ]
+        flags = (sm <= bound).astype(jnp.int32)  # (per, bn)
+        rowflag = jnp.maximum(rowflag, jnp.max(flags, axis=0, keepdims=True))
+        mins = kmins.reshape(per, bn)
+        for j in range(per):
+            codes_ref[g * per + j, :] = mins[j] & idx_mask
+    flags_ref[0, :] = rowflag[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "dtype", "cap_frac", "interpret")
+)
+def pq_encode_verified(
+    codebooks: Array,
+    x: Array,
+    *,
+    block_n: int | None = None,
+    dtype=jnp.uint8,
+    cap_frac: float = 1 / 8,
+    interpret: bool = False,
+) -> Array:
+    """Bit-exact fused encode: the 3-pass exact kernel plus einsum
+    re-scoring of the rows whose top-2 margin falls within the split
+    error bound.
+
+    The plain exact kernel (``pq_encode(compute_dtype=jnp.float32)``)
+    carries ~2^-17 relative score error and 2^-15 packed-key tie
+    coarsening — 99.994% oracle agreement.  Here every row where that
+    error could possibly have changed an argmin is detected in-kernel
+    (sound margin bound; measured ~3% of rows at the flagship shape) and
+    re-encoded with the exact f32 einsum, making the output equal to
+    :func:`reductive_tpu.pq.primitives.quantize_batch` including its
+    first-index tie-breaks, at ~the 3-pass kernel's throughput.
+
+    ``cap_frac`` bounds the re-scored subset (padded gathers; duplicate
+    pad rows scatter identical values).  If the flagged count ever
+    exceeds the cap (pathological near-tie data), a fallback re-encodes
+    everything with the chunked einsum — correct at any flag rate.
+    """
+    from ..pq import primitives
+    from ..pq.primitives import check_code_dtype
+
+    check_code_dtype(codebooks, dtype)
+    m, k, ds = codebooks.shape
+    n, d = x.shape
+    if d != m * ds:
+        raise ValueError(
+            f"Quantizer and vector length mismatch: input has {d} columns, "
+            f"quantizer reconstructs {m * ds}"
+        )
+
+    W, c_sqn, kp = pack_block_diagonal(codebooks, jnp.float32, scale=2.0)
+    Wt = trunc_split2_bf16_stacked(W.T)
+    bn, groups = _choose_tiling(m, kp, d, 4, block_n, exact=True)
+    idx_bits = max(1, (kp - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    # e_j^2 = (2^-14 * max_c ||2 c_jc||)^2: the squared split-error scale
+    # (3-pass residual ~2^-15.4 * ||2c|| * ||x||, with margin for the f32
+    # accumulation and the 2^-15 key coarsening).
+    cn = jnp.sqrt(jnp.einsum("mkd,mkd->mk", codebooks, codebooks,
+                             precision="highest"))
+    esq = ((2.0 ** -14) * 2.0 * jnp.max(cn, axis=1)) ** 2  # (m,)
+    esq = esq[:, None].astype(jnp.float32)
+
+    kernel = functools.partial(
+        _encode_verify_kernel, m=m, kp=kp, groups=groups, idx_mask=idx_mask,
+        block_n=bn,
+    )
+    codes_t, flags = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, Wt, c_sqn, esq)
+    codes = codes_t.T  # (n, m) int32
+
+    # Exact einsum re-encode of the flagged rows (gathered, padded with
+    # row 0 — its exact codes scatter idempotently), chunked so the
+    # (chunk, m, k) distance transient stays ~250 MB.
+    row_flag = flags[0] > 0
+    count = jnp.sum(row_flag)
+    chunk = 16384
+    cap = max(chunk, int(n * cap_frac) // chunk * chunk)
+    cap = min(cap, ((n + chunk - 1) // chunk) * chunk)
+    (rows,) = jnp.nonzero(row_flag, size=cap, fill_value=0)
+
+    def exact_codes(xs):
+        s = xs.shape[0]
+        pad = (-s) % chunk
+        xp = jnp.pad(xs, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda xc: primitives.quantize_batch(codebooks, xc, dtype=jnp.int32),
+            xp.reshape(-1, chunk, d),
+        )
+        return out.reshape(-1, m)[:s]
+
+    fixed = codes.at[rows].set(exact_codes(jnp.take(x, rows, axis=0)))
+    full = jax.lax.cond(
+        count <= cap,
+        lambda: fixed,
+        lambda: exact_codes(x),
+    )
+    return full.astype(dtype)
 
 
 def assign_nearest(

@@ -157,3 +157,58 @@ def test_kernels_wide_codebook_k_gt_256():
     with pytest.raises(OverflowError):
         pq_encode(cb, x, dtype=jnp.uint8, interpret=True)
 
+
+
+def test_pq_encode_verified_bit_exact_oracle():
+    """pq_encode_verified equals the exact einsum oracle on EVERY code
+    (the plain exact kernel only promises ~99.99% agreement)."""
+    from reductive_tpu.ops import pq_encode_verified
+    from reductive_tpu.pq import primitives
+
+    key = jax.random.PRNGKey(31)
+    kc, kx = jax.random.split(key)
+    m, k, ds, n = 4, 16, 4, 3000
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    got = pq_encode_verified(cb, x, block_n=256, interpret=True)
+    want = primitives.quantize_batch(cb, x, dtype=jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pq_encode_verified_exact_ties_first_index():
+    """Duplicated centroids produce exact distance ties; the verified
+    encode must flag them and resolve to the first index like the
+    reference (src/kmeans.rs:149-156)."""
+    from reductive_tpu.ops import pq_encode_verified
+    from reductive_tpu.pq import primitives
+
+    key = jax.random.PRNGKey(32)
+    m, k, ds, n = 2, 8, 4, 500
+    cb = np.array(jax.random.normal(key, (m, k, ds), dtype=jnp.float32))
+    cb[:, 5] = cb[:, 2]  # exact duplicate -> ties must resolve to 2
+    cb[:, 7] = cb[:, 0]
+    cb = jnp.asarray(cb)
+    x = cb[0, jnp.arange(n) % k] + 0.0  # rows exactly ON tied centroids
+    x = jnp.concatenate([x, cb[1, jnp.arange(n) % k]], axis=1)
+    got = np.asarray(pq_encode_verified(cb, x, block_n=128, interpret=True))
+    want = np.asarray(primitives.quantize_batch(cb, x, dtype=jnp.uint8))
+    np.testing.assert_array_equal(got, want)
+    assert (got[:, 0] != 5).all() and (got[:, 0] != 7).all()
+
+
+def test_pq_encode_verified_overflow_fallback():
+    """cap_frac ~ 0 forces the flagged count over the cap: the chunked
+    full-einsum fallback must still return the bit-exact result."""
+    from reductive_tpu.ops import pq_encode_verified
+    from reductive_tpu.pq import primitives
+
+    key = jax.random.PRNGKey(33)
+    kc, kx = jax.random.split(key)
+    m, k, ds, n = 2, 8, 4, 400
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    # Near-coincident rows on centroids: high flag rate.
+    x = jnp.tile(cb[0, :2].reshape(-1), (n, m // 1))[:, : m * ds] * 1.0
+    x = x + 1e-6 * jax.random.normal(kx, x.shape)
+    got = pq_encode_verified(cb, x, block_n=128, cap_frac=1e-9, interpret=True)
+    want = primitives.quantize_batch(cb, x, dtype=jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
