@@ -173,6 +173,17 @@ def bench_config2(quick):
                extra={"vectors_per_sec": round(n / dt, 1),
                       "note": "f32-exact 3-pass mode"})
 
+        from reductive_tpu.ops import pq_encode_verified
+
+        verified = jax.jit(
+            lambda c, x: pq_encode_verified(c, x, dtype=jnp.uint8)
+        )
+        dt = timeit(verified, cb, x, iters=8)
+        record("config2_encode_1Mx128_m16_k256_kernel_verified", dt,
+               extra={"vectors_per_sec": round(n / dt, 1),
+                      "note": "bit-exact: 3-pass + margin-flagged einsum "
+                      "re-encode (~3% of rows)"})
+
         if not quick:
             # Large-batch serving: per-dispatch overhead amortizes and
             # the kernel's true rate shows (the 1M number includes a

@@ -152,23 +152,35 @@ def main():
             )
             if nd == mesh_sizes[0]:
                 base_weak, base_strong = t_weak, t_strong
-            record({
+            entry = {
                 "bench": f"scaling_{trainer}_{nd}dev",
                 "devices": nd,
                 "weak_ms_per_iter": round(t_weak * 1e3, 3),
-                "weak_efficiency": round(base_weak / t_weak, 4),
                 "strong_ms_per_iter": round(t_strong * 1e3, 3),
-                "strong_efficiency": round(base_strong / (nd * t_strong), 4),
                 "psum_bytes_per_iter": payload,
                 "virtual_mesh": virtual,
-                "note": (
-                    "virtual devices share one host's cores: weak-scaling "
-                    "time necessarily grows ~N here; the constant psum "
-                    "payload is the architectural measurement. Run with "
-                    "--real on a pod for ICI efficiencies."
-                    if virtual else "real devices"
-                ),
-            })
+            }
+            # On a virtual mesh the devices share one host's cores, so an
+            # "efficiency" quotient is NOT a scaling measurement — name
+            # the keys so the numbers cannot be quoted as one.
+            weak_key = (
+                "weak_time_ratio_SHARED_CORE_NOT_EFFICIENCY"
+                if virtual else "weak_efficiency"
+            )
+            strong_key = (
+                "strong_time_ratio_SHARED_CORE_NOT_EFFICIENCY"
+                if virtual else "strong_efficiency"
+            )
+            entry[weak_key] = round(base_weak / t_weak, 4)
+            entry[strong_key] = round(base_strong / (nd * t_strong), 4)
+            entry["note"] = (
+                "virtual devices share one host's cores: weak-scaling "
+                "time necessarily grows ~N here; the constant psum "
+                "payload is the architectural measurement. Run with "
+                "--real on a pod for ICI efficiencies."
+                if virtual else "real devices"
+            )
+            record(entry)
 
     # The analytic communication bound the virtual mesh cannot measure:
     # payload / iteration is corpus-independent, so the collective cost is
