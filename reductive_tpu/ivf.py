@@ -105,7 +105,10 @@ def train_ivf_pq(
     the coarse stage and :func:`train_pq_chunked` for the residual PQ.
     ``train_sample`` caps the rows used for training (both stages are
     statistical; a quarter-million rows train 4096 cells well); the full
-    corpus is only touched at :func:`build_ivf` time.
+    corpus is only touched at :func:`build_ivf` time.  ``instances`` may
+    be a reader (see :func:`build_ivf`) for corpora larger than HBM — the
+    training sample is fetched row-wise from disk and only it occupies
+    device memory.
 
     ``residual_quantizer="gaussian_opq"`` learns a closed-form OPQ
     rotation for the residual space (residual distributions are roughly
@@ -122,12 +125,21 @@ def train_ivf_pq(
 
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    n, d = instances.shape
-    kc, ks, kp = jax.random.split(key, 3)
-    x_train = instances
-    if train_sample is not None and n > train_sample:
-        idx = random_distinct_indices(ks, n, train_sample)
-        x_train = jnp.take(instances, idx, axis=0)
+    if _is_reader(instances):
+        # On-disk corpus (>HBM): both training stages run on a sampled
+        # device-resident subset, so only the sample crosses to HBM.
+        n, d = instances.n, instances.dim
+        kc, ks, kp = jax.random.split(key, 3)
+        cap = min(train_sample or 262_144, n - 1)
+        idx = np.sort(np.asarray(random_distinct_indices(ks, n, cap)))
+        x_train = jnp.asarray(_reader_rows(instances, idx))
+    else:
+        n, d = instances.shape
+        kc, ks, kp = jax.random.split(key, 3)
+        x_train = instances
+        if train_sample is not None and n > train_sample:
+            idx = random_distinct_indices(ks, n, train_sample)
+            x_train = jnp.take(instances, idx, axis=0)
 
     logger.info(
         "IVF-PQ training: %d coarse cells (%d iters) + residual PQ m=%d k=%d",
@@ -185,6 +197,19 @@ def _assign_coarse(coarse: Array, x: Array, use_kernel: bool) -> Array:
     for off in range(0, n, b):
         out[off : off + b] = np.asarray(_coarse_topk(x[off : off + b], coarse, 1)[:, 0])
     return jnp.asarray(out)
+
+
+def _is_reader(instances) -> bool:
+    """A corpus source is either a device/host array or a reader object
+    (``reductive_tpu.native.VecsReader`` or anything with ``n``/``dim``/
+    ``read``) for corpora larger than HBM."""
+    return not hasattr(instances, "shape") and hasattr(instances, "read")
+
+
+def _reader_rows(reader, rows: np.ndarray) -> np.ndarray:
+    if hasattr(reader, "read_rows"):
+        return reader.read_rows(rows)
+    return np.concatenate([reader.read(int(i), 1) for i in rows])
 
 
 @functools.partial(jax.jit, static_argnames=("A",))
@@ -278,6 +303,14 @@ def build_ivf(
     both fully on device), with a host-side vectorized scatter of the
     tiny code/norm results into the ``(C, L, m)`` cell tensor.
 
+    ``instances`` may be a device/host ``(n, d)`` array **or a reader**
+    (:class:`reductive_tpu.native.VecsReader` or anything with
+    ``n``/``dim``/``read``): with a reader the corpus is streamed from
+    disk twice (assignment pass, then encode pass) and never resides in
+    HBM — the build path for corpora larger than device memory
+    (BASELINE config #5).  Only the ``(C, L, m)`` cells plus per-batch
+    staging cross through memory.
+
     ``capacity`` controls the cell size ``L`` — and with it both memory
     and probe cost (a probe always scans ``L`` slots):
 
@@ -311,9 +344,23 @@ def build_ivf(
         )
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    n, d = instances.shape
+    is_reader = _is_reader(instances)
+    if is_reader:
+        n, d = instances.n, instances.dim
+    else:
+        n, d = instances.shape
     C = coarse.shape[0]
     m = pq.quantized_len
+
+    def fetch_slice(off: int, b: int):
+        if is_reader:
+            return jnp.asarray(instances.read(off, min(b, n - off)))
+        return instances[off : off + b]
+
+    def fetch_rows(rows: np.ndarray):
+        if is_reader:
+            return jnp.asarray(_reader_rows(instances, rows))
+        return jnp.take(instances, rows.astype(np.int32), axis=0)
 
     bounded = capacity is not None
     A = min(overflow_candidates, C) if bounded else 1
@@ -328,7 +375,7 @@ def build_ivf(
     # and narrow dtype (int16 when C allows) halves the one transfer.
     b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
     tops = [
-        _coarse_topk(instances[off : off + b1], coarse, A)
+        _coarse_topk(fetch_slice(off, b1), coarse, A)
         for off in range(0, n, b1)
     ]
     cands_dev = jnp.concatenate(tops, axis=0)
@@ -380,10 +427,7 @@ def build_ivf(
                 for off in range(0, len(remaining), bf):
                     rows = remaining[off : off + bf]
                     csp[off : off + bf] = np.asarray(
-                        _coarse_topk(
-                            jnp.take(instances, rows.astype(np.int32), axis=0),
-                            sub, Asp,
-                        )
+                        _coarse_topk(fetch_rows(rows), sub, Asp)
                     )
                 cands_sp = space_cells[csp]  # map back to global cell ids
                 cell_sp, slot_sp, fill = _greedy_place(cands_sp, C, L, fill)
@@ -420,17 +464,40 @@ def build_ivf(
     # fetch, then one vectorized host scatter into the cells.
     placed_rows = np.where(cell_of >= 0)[0]
     codes_parts, norms_parts = [], []
-    for off in range(0, len(placed_rows), batch):
-        rows = placed_rows[off : off + batch]
-        cc = cell_of[rows]
-        codes_b, norms_b = _residual_encode_batch(
-            coarse, pq,
-            jnp.take(instances, rows.astype(np.int32), axis=0),
-            jnp.asarray(cc.astype(np.int32)),
-            use_kernel, jnp.dtype(dtype),
-        )
-        codes_parts.append(codes_b)
-        norms_parts.append(norms_b)
+    if is_reader:
+        # Sequential disk pass in corpus order; unplaced rows (possible
+        # only under on_overflow="drop") are filtered on the host and the
+        # batch zero-padded back to a single compiled shape.
+        placed_mask = cell_of >= 0
+        for off in range(0, n, batch):
+            sel = placed_mask[off : off + batch]
+            v = int(sel.sum())
+            if v == 0:
+                continue
+            xb = instances.read(off, min(batch, n - off))
+            cc = cell_of[off : off + batch][sel].astype(np.int32)
+            if v < batch:
+                xb = np.concatenate(
+                    [xb[sel], np.zeros((batch - v, d), np.float32)]
+                )
+                cc = np.concatenate([cc, np.zeros(batch - v, np.int32)])
+            codes_b, norms_b = _residual_encode_batch(
+                coarse, pq, jnp.asarray(xb), jnp.asarray(cc),
+                use_kernel, jnp.dtype(dtype),
+            )
+            codes_parts.append(codes_b[:v])
+            norms_parts.append(norms_b[:v])
+    else:
+        for off in range(0, len(placed_rows), batch):
+            rows = placed_rows[off : off + batch]
+            cc = cell_of[rows]
+            codes_b, norms_b = _residual_encode_batch(
+                coarse, pq, fetch_rows(rows),
+                jnp.asarray(cc.astype(np.int32)),
+                use_kernel, jnp.dtype(dtype),
+            )
+            codes_parts.append(codes_b)
+            norms_parts.append(norms_b)
     codes_all = np.asarray(jnp.concatenate(codes_parts, axis=0))
     norms_all = np.asarray(jnp.concatenate(norms_parts, axis=0))
     del codes_parts, norms_parts

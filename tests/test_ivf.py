@@ -340,3 +340,85 @@ def test_ivf_opq_residuals_and_refine():
     with pytest.raises(ValueError, match="residual_quantizer"):
         train_ivf_pq(key, x, 8, 4, 3, use_kernel=False,
                      residual_quantizer="opq2")
+
+
+def test_build_from_reader_matches_in_memory(tmp_path):
+    """build_ivf from an on-disk reader (>HBM path) produces the exact
+    same index as the in-memory build on the same corpus."""
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    key = jax.random.PRNGKey(70)
+    x = clustered_data(key, n_clusters=8, per=120, d=16, spread=0.3)
+    path = str(tmp_path / "corpus.fvecs")
+    write_fvecs(path, np.asarray(x))
+
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    mem = build_ivf(coarse, pq, x, capacity="auto", use_kernel=False,
+                    batch=256)
+    with VecsReader(path) as reader:
+        disk = build_ivf(coarse, pq, reader, capacity="auto",
+                         use_kernel=False, batch=256)
+    np.testing.assert_array_equal(
+        np.asarray(disk.cell_ids), np.asarray(mem.cell_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(disk.cell_codes), np.asarray(mem.cell_codes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(disk.cell_norms), np.asarray(mem.cell_norms),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_build_from_reader_drop_mode(tmp_path):
+    """Reader-path pass 2 handles holes (dropped rows) via host filter +
+    zero padding; stored rows partition exactly as in the array path."""
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    key = jax.random.PRNGKey(71)
+    x = clustered_data(key, n_clusters=4, per=50, d=8)
+    n = x.shape[0]
+    path = str(tmp_path / "corpus.fvecs")
+    write_fvecs(path, np.asarray(x))
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    mem = build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                    on_overflow="drop", batch=64)
+    with VecsReader(path) as reader:
+        disk = build_ivf(coarse, pq, reader, capacity=10, use_kernel=False,
+                         on_overflow="drop", batch=64)
+    np.testing.assert_array_equal(
+        np.asarray(disk.cell_ids), np.asarray(mem.cell_ids)
+    )
+    np.testing.assert_array_equal(disk.dropped_ids, mem.dropped_ids)
+    assert disk.dropped_ids.size > 0
+
+
+def test_train_ivf_pq_from_reader(tmp_path):
+    """train_ivf_pq accepts a reader: sampled training from disk, then a
+    streamed build + search end-to-end without the corpus in memory."""
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    key = jax.random.PRNGKey(72)
+    x = clustered_data(key, n_clusters=16, per=100, d=16)
+    n = x.shape[0]
+    path = str(tmp_path / "corpus.fvecs")
+    write_fvecs(path, np.asarray(x))
+    with VecsReader(path) as reader:
+        coarse, pq = train_ivf_pq(key, reader, 16, 4, 4, use_kernel=False,
+                                  train_sample=512)
+        index = build_ivf(coarse, pq, reader, capacity="auto",
+                          use_kernel=False)
+    assert index.dropped_ids.size == 0
+    ids = np.asarray(index.cell_ids)
+    flat = ids[ids >= 0]
+    assert len(flat) == n and len(set(flat.tolist())) == n
+    kq = jax.random.PRNGKey(73)
+    planted = np.arange(0, n, 100)
+    queries = x[planted] + 0.02 * jax.random.normal(kq, (len(planted), 16))
+    _, idx = ivf_search(index, queries, top_k=10, nprobe=4, use_kernel=False)
+    recall = float(np.mean([
+        planted[q] in np.asarray(idx[q]) for q in range(len(planted))
+    ]))
+    assert recall > 0.85, recall
