@@ -668,7 +668,8 @@ def ivf_search(
     ``nprobe / C`` of the corpus.  ``use_kernel=None`` picks the fused
     decode on TPU and the einsum decode elsewhere.
 
-    ``refine_with`` (the original ``(n, d)`` vectors, device-resident)
+    ``refine_with`` (the original ``(n, d)`` vectors, device-resident —
+    or a ``VecsReader``-like object for corpora larger than HBM)
     adds the exact refine stage: ``top_k * refine_factor`` IVF candidates
     are re-scored with true squared distances and the best ``top_k``
     returned (same contract as :func:`reductive_tpu.search.search`).

@@ -273,20 +273,40 @@ def _search_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
-def _refine_jit(
-    queries: Array, corpus: Array, cand_idx: Array, top_k: int
+def _refine_scores(
+    queries: Array, cand: Array, cand_idx: Array, top_k: int
 ) -> Tuple[Array, Array]:
-    """Exact re-scoring of ADC candidates against the original vectors:
-    gather the candidate rows, compute true squared distances, and keep
-    the best ``top_k``.  O(nq * R * d) — independent of corpus size.
-    Padding candidates (``id=-1``, e.g. from an underfull IVF probe) stay
-    at ``+inf``."""
-    cand = jnp.take(corpus, cand_idx, axis=0)  # (nq, R, d); take clips ids
+    """Exact re-scoring core on pre-gathered candidate rows ``(nq, R, d)``;
+    padding candidates (``id=-1``) stay at ``+inf``."""
     diff = cand.astype(jnp.float32) - queries.astype(jnp.float32)[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)  # (nq, R) exact distances
     d2 = jnp.where(cand_idx >= 0, d2, jnp.inf)
     neg, sel = jax.lax.top_k(-d2, top_k)
     return -neg, jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
+def _refine_jit(
+    queries: Array, corpus, cand_idx: Array, top_k: int
+) -> Tuple[Array, Array]:
+    """Exact re-scoring of ADC candidates against the original vectors:
+    gather the candidate rows, compute true squared distances, and keep
+    the best ``top_k``.  O(nq * R * d) — independent of corpus size.
+
+    ``corpus`` is a device/host ``(n, d)`` array, or a **reader**
+    (``VecsReader``-like) for corpora larger than HBM — the candidate
+    rows (``nq * R``, a few thousand) are fetched from disk and only they
+    touch device memory, completing the disk-resident serving loop."""
+    from .ivf import _is_reader, _reader_rows
+    import numpy as np
+
+    if _is_reader(corpus):
+        idx_np = np.asarray(cand_idx)
+        safe = np.clip(idx_np, 0, corpus.n - 1).ravel()
+        rows = _reader_rows(corpus, safe)
+        cand = jnp.asarray(rows.reshape(*idx_np.shape, -1))
+    else:
+        cand = jnp.take(corpus, cand_idx, axis=0)  # take clips ids
+    return _refine_scores(queries, cand, cand_idx, top_k)
 
 
 def search(
@@ -317,7 +337,9 @@ def search(
     ``method="kernel"``) — half the code HBM, twice the corpus per chip.
 
     ``refine_with`` (an ``(n, d)`` device-resident matrix of the original
-    vectors) enables the standard two-stage refine: ADC retrieves
+    vectors, or a ``VecsReader``-like object fetching candidate rows from
+    disk for corpora larger than HBM) enables the standard two-stage
+    refine: ADC retrieves
     ``top_k * refine_factor`` candidates from the compressed codes, then
     the candidates are re-scored with **exact** distances against the
     originals and the best ``top_k`` returned — quantization error is
@@ -345,9 +367,13 @@ def search(
     if refine_with is not None:
         if refine_factor < 1:
             raise ValueError("refine_factor must be >= 1")
-        if refine_with.shape[0] != codes.shape[0]:
+        n_ref = (
+            refine_with.n if not hasattr(refine_with, "shape")
+            else refine_with.shape[0]
+        )
+        if n_ref != codes.shape[0]:
             raise ValueError(
-                f"refine_with has {refine_with.shape[0]} rows, codes have "
+                f"refine_with has {n_ref} rows, codes have "
                 f"{codes.shape[0]}"
             )
         r = min(top_k * refine_factor, codes.shape[0])

@@ -411,3 +411,53 @@ def test_search_decode_method_matches_einsum():
     d_e2, i_e2 = search(pqr, queries, codes_r, top_k=5)
     d_d2, i_d2 = search(pqr, queries, codes_r, top_k=5, method="decode")
     np.testing.assert_array_equal(np.asarray(i_e2), np.asarray(i_d2))
+
+
+def test_refine_from_reader_matches_in_memory(tmp_path):
+    """refine_with accepts an on-disk reader: candidate rows are fetched
+    from disk and the result equals the device-resident refine."""
+    from reductive_tpu import train_pq
+    from reductive_tpu.native import VecsReader, write_fvecs
+    from reductive_tpu.search import search
+
+    key = jax.random.PRNGKey(80)
+    x = jax.random.normal(key, (3000, 16), dtype=jnp.float32)
+    write_fvecs(str(tmp_path / "c.fvecs"), np.asarray(x))
+    pq = train_pq(key, x, 4, 4, 5)
+    codes = pq.quantize_batch(x)
+    q = x[:7] + 0.01 * jax.random.normal(jax.random.PRNGKey(81), (7, 16))
+    d_mem, i_mem = search(pq, q, codes, top_k=5, refine_with=x,
+                          refine_factor=4)
+    with VecsReader(str(tmp_path / "c.fvecs")) as reader:
+        d_dk, i_dk = search(pq, q, codes, top_k=5, refine_with=reader,
+                            refine_factor=4)
+    np.testing.assert_array_equal(np.asarray(i_dk), np.asarray(i_mem))
+    np.testing.assert_allclose(np.asarray(d_dk), np.asarray(d_mem),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_refine_from_reader(tmp_path):
+    """ivf_search(refine_with=reader) completes the disk-resident serving
+    loop: build from disk, search, refine from disk."""
+    from reductive_tpu.ivf import build_ivf, ivf_search, train_ivf_pq
+    from reductive_tpu.native import VecsReader, write_fvecs
+
+    key = jax.random.PRNGKey(82)
+    kc, kn = jax.random.split(key)
+    centers = jax.random.normal(kc, (8, 16)) * 3.0
+    x = (centers[:, None, :] + 0.2 * jax.random.normal(kn, (8, 150, 16))
+         ).reshape(-1, 16).astype(jnp.float32)
+    write_fvecs(str(tmp_path / "c.fvecs"), np.asarray(x))
+    with VecsReader(str(tmp_path / "c.fvecs")) as reader:
+        coarse, rpq = train_ivf_pq(key, reader, 8, 4, 4, use_kernel=False,
+                                   train_sample=512)
+        index = build_ivf(coarse, rpq, reader, capacity="auto",
+                          use_kernel=False)
+        q = x[:5]
+        d_dk, i_dk = ivf_search(index, q, top_k=5, nprobe=4,
+                                use_kernel=False, refine_with=reader)
+    d_mem, i_mem = ivf_search(index, q, top_k=5, nprobe=4,
+                              use_kernel=False, refine_with=x)
+    np.testing.assert_array_equal(np.asarray(i_dk), np.asarray(i_mem))
+    # Exact refine of a query that IS a corpus row returns distance ~0.
+    assert float(np.asarray(d_dk)[0, 0]) < 1e-6
