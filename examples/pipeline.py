@@ -42,6 +42,10 @@ def main() -> None:
                     help="also build an IVF-PQ index with N_CELLS coarse "
                          "cells and compare against the exhaustive search")
     ap.add_argument("--queries", type=int, default=16)
+    ap.add_argument("--disk", action="store_true",
+                    help="also run the fully disk-resident lifecycle "
+                         "(streamed training, IVF build from the reader, "
+                         "exact refine from the reader) — the >HBM path")
     args = ap.parse_args()
 
     from reductive_tpu import io, train_opq_chunked, train_pq_chunked
@@ -157,6 +161,47 @@ def main() -> None:
                 planted[q] in np.asarray(ids[q]) for q in range(args.queries)
             ]))
             print(f"IVF recall@10 of the planted neighbor: {recall_ivf:.2f}")
+
+        # 7. Optional fully disk-resident lifecycle — the path for corpora
+        # larger than HBM (BASELINE config #5): training re-streams the
+        # corpus from disk each iteration, the IVF build streams it twice,
+        # and the exact refine fetches only the candidate rows.  The
+        # corpus never resides in device memory.
+        if args.disk:
+            from reductive_tpu import train_pq_streamed
+            from reductive_tpu.ivf import build_ivf, ivf_search, train_ivf_pq
+
+            wire = jnp.bfloat16 if on_tpu else None
+            with VecsReader(corpus_path) as reader:
+                t0 = time.perf_counter()
+                spq = train_pq_streamed(
+                    jax.random.PRNGKey(9), reader, args.m, args.bits,
+                    max(2, args.iters // 2), batch_size=1 << 15,
+                    transfer_dtype=wire, use_kernel=on_tpu,
+                )
+                rec = spq.reconstruct_batch(spq.quantize_batch(sample))
+                smse = float(jnp.mean((sample - rec) ** 2))
+                print(f"disk: streamed PQ training in "
+                      f"{time.perf_counter()-t0:.1f}s (roundtrip MSE "
+                      f"{smse:.4f})")
+                cells = args.ivf or 64
+                coarse, rpq = train_ivf_pq(
+                    jax.random.PRNGKey(10), reader, cells, args.m, args.bits,
+                    use_kernel=on_tpu, train_sample=min(args.n - 1, 1 << 17),
+                )
+                t0 = time.perf_counter()
+                index = build_ivf(coarse, rpq, reader, capacity="auto",
+                                  use_kernel=on_tpu)
+                print(f"disk: IVF build from reader in "
+                      f"{time.perf_counter()-t0:.1f}s "
+                      f"(dropped={index.dropped_ids.size})")
+                _, i_r = ivf_search(index, queries, top_k=10, nprobe=8,
+                                    use_kernel=on_tpu, refine_with=reader)
+                rec_d = float(np.mean([
+                    planted[q] in np.asarray(i_r[q])
+                    for q in range(args.queries)
+                ]))
+                print(f"disk: IVF + disk-refine recall@10: {rec_d:.2f}")
 
 
 if __name__ == "__main__":
