@@ -17,6 +17,7 @@ Top-level surface::
 """
 
 from . import conformance, data, errors, io, ivf, kmeans, linalg, native, search
+from .data import SyntheticReader
 from .pq import (
     Pq,
     bucket_eigenvalues,
@@ -56,4 +57,5 @@ __all__ = [
     "linalg",
     "native",
     "search",
+    "SyntheticReader",
 ]

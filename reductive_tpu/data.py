@@ -24,7 +24,100 @@ import jax.numpy as jnp
 
 from .pq.model import Pq
 
-__all__ = ["stream_encode", "stream_encode_batches", "stream_encode_resumable"]
+__all__ = [
+    "stream_encode",
+    "stream_encode_batches",
+    "stream_encode_resumable",
+    "SyntheticReader",
+]
+
+
+class SyntheticReader:
+    """Device-resident synthetic corpus implementing the reader protocol.
+
+    Every row is a pure function of ``(seed, row_index)`` — a
+    *virtual corpus* that is never materialized on disk, in host RAM, or
+    in HBM: ``batches()`` generates each block on the device on demand,
+    so streaming consumers (:func:`stream_encode`,
+    :func:`reductive_tpu.pq.train_pq_streamed`, IVF builds from a reader)
+    run their full >HBM path with zero host-link traffic.  Two uses:
+
+    * executing corpus-scale workloads (BASELINE config #5's 100M×768)
+      at device rate on hardware whose host link would otherwise bound
+      the stream — generation replaces the disk read, everything
+      downstream is the production code path;
+    * reader-protocol tests without temp files.
+
+    Data is a mixture of ``n_centers`` Gaussians (centers drawn
+    ``N(0, center_scale²)``, isotropic unit noise by default) — the
+    clustered distribution from the recall-methodology benches.  Because
+    each row derives its own PRNG key from its index, ``read``,
+    ``read_rows``, and ``batches`` are mutually consistent and
+    order-independent, exactly like a file-backed reader.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        dim: int,
+        *,
+        seed: int = 0,
+        n_centers: int = 256,
+        center_scale: float = 2.0,
+        noise_scale: float = 1.0,
+    ):
+        self.n = int(n)
+        self.dim = int(dim)
+        self.path = None  # reader protocol: no backing file
+        key = jax.random.PRNGKey(seed)
+        ckey, self._row_key = jax.random.split(key)
+        self._centers = jax.random.normal(
+            ckey, (n_centers, dim), jnp.float32
+        ) * center_scale
+        n_c = n_centers
+        noise = float(noise_scale)
+
+        @jax.jit
+        def gen_rows(row_key, centers, idx):
+            def one(i):
+                h = jax.random.fold_in(row_key, i)
+                hw, hn = jax.random.split(h)
+                which = jax.random.randint(hw, (), 0, n_c)
+                return centers[which] + noise * jax.random.normal(
+                    hn, (centers.shape[1],), jnp.float32
+                )
+
+            return jax.vmap(one)(idx)
+
+        self._gen = gen_rows
+
+    def rows(self, idx) -> jax.Array:
+        """Device-side row generation for an int index array."""
+        return self._gen(self._row_key, self._centers, jnp.asarray(idx))
+
+    def read(self, start: int, count: int) -> jax.Array:
+        return self.rows(start + jnp.arange(count))
+
+    def read_rows(self, indices) -> jax.Array:
+        return self.rows(jnp.asarray(indices).ravel())
+
+    def batches(self, batch_size: int, start: int = 0, stop: Optional[int] = None):
+        stop = self.n if stop is None else min(stop, self.n)
+        # Full-size generation + tail slice: one compiled program for the
+        # whole stream, matching the file readers' padding discipline.
+        for off in range(start, stop, batch_size):
+            b = min(batch_size, stop - off)
+            block = self.rows(off + jnp.arange(batch_size))
+            yield off, (block if b == batch_size else block[:b])
+
+    def close(self) -> None:  # reader protocol
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _encode_fn(pq: Pq, dtype, use_kernel: bool):
