@@ -13,7 +13,7 @@ from .adc import adc_scores_kernel
 from .assign import assign_nearest, pq_encode, pq_encode_verified
 from .decode import pq_decode
 from .packing import pack_u4_codes, unpack_u4_codes
-from .stats import pq_assign_stats
+from .stats import pq_assign_stats, pq_assign_stats_verified
 
 __all__ = [
     "pq_encode",
@@ -21,6 +21,7 @@ __all__ = [
     "pq_decode",
     "assign_nearest",
     "pq_assign_stats",
+    "pq_assign_stats_verified",
     "adc_scores_kernel",
     "pack_u4_codes",
     "unpack_u4_codes",

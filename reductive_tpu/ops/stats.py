@@ -44,7 +44,7 @@ from .assign import (
     trunc_split3_bf16,
 )
 
-__all__ = ["pq_assign_stats"]
+__all__ = ["pq_assign_stats", "pq_assign_stats_verified"]
 
 
 def _stats_kernel(
@@ -267,3 +267,246 @@ def pq_assign_stats(
         [jax.lax.dynamic_slice(sums3[j], (0, j * ds), (kp, ds)) for j in range(m)]
     )  # (m, kp, ds)
     return blocks[:, :k, :], counts
+
+
+def _stats_verify_kernel(
+    x_ref, wt_ref, csqn_ref, esq_ref, sums_ref, counts_ref, codes_ref,
+    flags_ref, *, n, m, kp, groups, idx_mask, block_n,
+):
+    """Exact-mode stats kernel + per-row verification flags + codes.
+
+    Identical score/one-hot/sum math to :func:`_stats_kernel`'s exact
+    path, plus the top-2 margin test of
+    :func:`reductive_tpu.ops.assign._encode_verify_kernel`: a row is
+    flagged when any subquantizer's f32 top-2 margin falls within the
+    sound 3-pass split-error bound, and the kernel's chosen codes are
+    emitted so the caller can *move* a mis-assigned row's contribution
+    between cells instead of recomputing the whole pass.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1) + i * block_n < n
+    )
+    valid_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_n, 1), 0) + i * block_n < n
+    )
+    x = jnp.where(valid_rows, x_ref[:], 0.0).astype(jnp.float32)  # (bn, d)
+    x_splits = trunc_split3_bf16(x)
+    d = x.shape[1]
+    ds = d // m
+    # ||x_j||^2 per (subquantizer, row) for the error bound.
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // ds
+        == jax.lax.broadcasted_iota(jnp.int32, (m, d), 0)
+    ).astype(jnp.float32)
+    xn2 = jax.lax.dot_general(
+        sel, x * x, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (m, bn)
+
+    per = m // groups
+    rows = per * kp
+    rowflag = jnp.zeros((1, block_n), jnp.int32)
+    for g in range(groups):
+        sl = slice(g * rows, (g + 1) * rows)
+        s = scores_3pass(
+            wt_ref[0, sl, :], wt_ref[1, sl, :], x_splits[0], x_splits[1]
+        )
+        dists = csqn_ref[:].reshape(m * kp, 1)[g * rows:(g + 1) * rows] - s
+        ib = pltpu.bitcast(dists, jnp.int32)
+        c31 = jnp.int32(31)
+        c1 = jnp.int32(1)
+        key = ib ^ jax.lax.shift_right_logical(
+            jax.lax.shift_right_arithmetic(ib, c31), c1
+        )
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % kp
+        key = (key & ~idx_mask) | seg_iota
+        key3 = key.reshape(per, kp, block_n)
+        kmins = jnp.min(key3, axis=1, keepdims=True)
+        onehot_b = key3 == kmins  # exactly one winner per (sq, row)
+        # Margin flags (see _encode_verify_kernel for the bound).
+        d3 = dists.reshape(per, kp, block_n)
+        m1 = jnp.min(jnp.where(onehot_b, d3, jnp.inf), axis=1)
+        m2 = jnp.min(jnp.where(onehot_b, jnp.inf, d3), axis=1)
+        margin = m2 - m1
+        sm = margin * jnp.abs(margin)
+        bound = 4.0 * esq_ref[g * per:(g + 1) * per, :] * xn2[
+            g * per:(g + 1) * per, :
+        ]
+        flags = (sm <= bound).astype(jnp.int32)
+        rowflag = jnp.maximum(rowflag, jnp.max(flags, axis=0, keepdims=True))
+        mins = kmins.reshape(per, block_n)
+        for j in range(per):
+            codes_ref[g * per + j, :] = mins[j] & idx_mask
+        onehot = (
+            onehot_b.reshape(rows, block_n) & valid
+        ).astype(jnp.bfloat16)  # 0/1: exact in bf16
+        ps = jnp.zeros((rows, d), jnp.float32)
+        for xs in x_splits:
+            ps += jax.lax.dot_general(
+                onehot,
+                xs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        sums_ref[g * rows:(g + 1) * rows, :] += ps
+        counts_ref[g * rows:(g + 1) * rows, :] += jnp.sum(
+            onehot.astype(jnp.float32), axis=1, keepdims=True
+        )
+    flags_ref[0, :] = rowflag[0]
+
+
+def _einsum_stats_chunked(codebooks: Array, x: Array, chunk: int = 16384):
+    """Oracle statistics: exact einsum assignments + f32 'highest' one-hot
+    sums, streamed in ``chunk``-row slices.  The any-flag-rate-correct
+    fallback of :func:`pq_assign_stats_verified`."""
+    from ..pq import primitives
+
+    m, k, ds = codebooks.shape
+    n, d = x.shape
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    mask = (jnp.arange(n + pad) < n).astype(jnp.float32)
+
+    def body(carry, args):
+        s, c = carry
+        xc, mc = args
+        codes = primitives.quantize_batch(codebooks, xc, dtype=jnp.int32)
+        oh = jax.nn.one_hot(codes.T, k, dtype=jnp.float32) * mc[None, :, None]
+        x3 = xc.astype(jnp.float32).reshape(-1, m, ds).transpose(1, 0, 2)
+        s = s + jnp.einsum("mck,mcd->mkd", oh, x3, precision="highest")
+        c = c + jnp.sum(oh, axis=1)
+        return (s, c), None
+
+    init = (
+        jnp.zeros((m, k, ds), jnp.float32),
+        jnp.zeros((m, k), jnp.float32),
+    )
+    (sums, counts), _ = jax.lax.scan(
+        body, init,
+        (xp.reshape(-1, chunk, d), mask.reshape(-1, chunk)),
+    )
+    return sums, counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap_frac", "interpret")
+)
+def pq_assign_stats_verified(
+    codebooks: Array,
+    x: Array,
+    *,
+    cap_frac: float = 1 / 16,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Assignment-exact fused statistics: sums/counts whose cell
+    memberships equal the exact-f32-einsum oracle's (first-index
+    tie-breaks included), at near the 6-pass exact kernel's throughput.
+
+    The plain exact mode (``pq_assign_stats(compute_dtype=jnp.float32)``)
+    carries ~2^-17 score error + 2^-15 packed-key tie coarsening
+    (99.994% oracle agreement at the flagship shape).  Here every row
+    where that error could have changed an argmin is margin-flagged
+    in-kernel (sound bound, measured ~3% of rows); the flagged rows are
+    re-scored with the exact einsum, and rows whose assignment changed
+    have their contribution *moved* between cells — counts become
+    exactly the oracle's, sums equal the oracle's up to f32 accumulation
+    order.  If the flagged count ever exceeds ``cap_frac * n``
+    (pathological near-tie data), the whole pass falls back to the
+    chunked einsum oracle — correct at any flag rate.
+
+    Composes with the chunked/streamed trainers via
+    ``compute_dtype="verified"``.
+    """
+    from ..pq import primitives
+
+    m, k, ds = codebooks.shape
+    n, d = x.shape
+    if d != m * ds:
+        raise ValueError(
+            f"Quantizer and vector length mismatch: input has {d} columns, "
+            f"quantizer reconstructs {m * ds}"
+        )
+    kp_probe = _round_up(k, 8)
+    block_n, groups = _choose_stats_tiling(m, kp_probe, d, 4, exact=True)
+    W, c_sqn, kp = pack_block_diagonal(codebooks, jnp.float32, scale=2.0)
+    Wt = trunc_split2_bf16_stacked(W.T)
+    idx_bits = max(1, (kp - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    cn = jnp.sqrt(jnp.einsum("mkd,mkd->mk", codebooks, codebooks,
+                             precision="highest"))
+    esq = (((2.0 ** -14) * 2.0 * jnp.max(cn, axis=1)) ** 2)[:, None].astype(
+        jnp.float32
+    )
+
+    kernel = functools.partial(
+        _stats_verify_kernel, n=n, m=m, kp=kp, groups=groups,
+        idx_mask=idx_mask, block_n=block_n,
+    )
+    sums_full, counts_full, codes_t, flags = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, block_n),),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m * kp, d), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((m * kp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m * kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m * kp, d), jnp.float32),
+            jax.ShapeDtypeStruct((m * kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.float32), Wt, c_sqn, esq)
+
+    sums3 = sums_full.reshape(m, kp, d)
+    counts = counts_full.reshape(m, kp)[:, :k]
+    sums = jnp.stack(
+        [jax.lax.dynamic_slice(sums3[j], (0, j * ds), (kp, ds)) for j in range(m)]
+    )[:, :k, :]
+
+    # Move flagged rows whose exact argmin differs from the kernel's.
+    row_flag = flags[0] > 0
+    count = jnp.sum(row_flag)
+    chunk = min(16384, max(256, n))
+    cap = max(chunk, int(n * cap_frac) // chunk * chunk)
+    cap = min(cap, ((n + chunk - 1) // chunk) * chunk)
+    (rows,) = jnp.nonzero(row_flag, size=cap, fill_value=0)
+    valid = (jnp.arange(cap) < count).astype(jnp.float32)
+
+    def corrected():
+        xf = jnp.take(x, rows, axis=0).astype(jnp.float32)  # (cap, d)
+        old = jnp.take(codes_t, rows, axis=1)  # (m, cap)
+        pad = (-cap) % chunk
+        xfp = jnp.pad(xf, ((0, pad), (0, 0)))
+        new = jax.lax.map(
+            lambda xc: primitives.quantize_batch(codebooks, xc, dtype=jnp.int32),
+            xfp.reshape(-1, chunk, d),
+        ).reshape(-1, m)[:cap].T  # (m, cap)
+        diff = (
+            jax.nn.one_hot(new, k, dtype=jnp.float32)
+            - jax.nn.one_hot(old, k, dtype=jnp.float32)
+        ) * valid[None, :, None]  # (m, cap, k)
+        x3 = xf.reshape(cap, m, ds).transpose(1, 0, 2)  # (m, cap, ds)
+        dsum = jnp.einsum("mck,mcd->mkd", diff, x3, precision="highest")
+        return sums + dsum, counts + jnp.sum(diff, axis=1)
+
+    return jax.lax.cond(
+        count <= cap,
+        corrected,
+        lambda: _einsum_stats_chunked(codebooks, x, chunk),
+    )

@@ -307,7 +307,7 @@ def _opq_iteration_chunked(
 
     n, d = x.shape
     m, k, ds = codebooks.shape
-    exact = compute_dtype == jnp.float32
+    exact = compute_dtype == jnp.float32 or compute_dtype == "verified"
     prec = "highest" if exact else None
 
     def rotate(xc):
@@ -345,10 +345,15 @@ def _opq_iteration_chunked(
     def cross_body(carry, xc):
         rxc = rotate(xc)
         if use_kernel:
-            codes = ops.pq_encode(
-                new_codebooks, rxc, dtype=jnp.int32,
-                compute_dtype=compute_dtype, interpret=interpret,
-            )
+            if compute_dtype == "verified":
+                codes = ops.pq_encode_verified(
+                    new_codebooks, rxc, dtype=jnp.int32, interpret=interpret,
+                )
+            else:
+                codes = ops.pq_encode(
+                    new_codebooks, rxc, dtype=jnp.int32,
+                    compute_dtype=compute_dtype, interpret=interpret,
+                )
             # Fused decode — the one-hot einsum would materialize a
             # (chunk, m, k) transient per scan step.  Exact mode gets the
             # bit-exact 3-split; throughput mode uses one bf16 pass (the

@@ -71,6 +71,8 @@ def _batch_stats(codebooks, x, use_kernel: bool, compute_dtype):
         from .. import ops
 
         try:
+            if compute_dtype == "verified":
+                return ops.pq_assign_stats_verified(codebooks, x)
             return ops.pq_assign_stats(codebooks, x, compute_dtype=compute_dtype)
         except ValueError:
             pass  # no VMEM-feasible tiling: einsum stats
@@ -84,7 +86,7 @@ def _stats_step(acc, codebooks, projection, xb, *, use_kernel, compute_dtype):
     """Accumulate one batch into (sums, counts, sumsq); the projection (if
     any) rotates the batch on device so the rotated corpus never exists."""
     sums, counts, sumsq = acc
-    exact = compute_dtype == jnp.float32
+    exact = compute_dtype == jnp.float32 or compute_dtype == "verified"
     x = xb.astype(codebooks.dtype)
     if projection is not None:
         x = jnp.dot(x, projection, precision="highest" if exact else None)
@@ -99,16 +101,19 @@ def _stats_step(acc, codebooks, projection, xb, *, use_kernel, compute_dtype):
 def _cross_step(M, codebooks, projection, xb, *, use_kernel, compute_dtype):
     """Accumulate one batch of the OPQ Procrustes cross-matrix
     ``M += x^T reconstruct(encode(x R))`` (``src/pq/opq.rs:178-187``)."""
-    exact = compute_dtype == jnp.float32
+    exact = compute_dtype == jnp.float32 or compute_dtype == "verified"
     prec = "highest" if exact else None
     x = xb.astype(codebooks.dtype)
     rx = jnp.dot(x, projection, precision=prec)
     if use_kernel:
         from .. import ops
 
-        codes = ops.pq_encode(
-            codebooks, rx, dtype=jnp.int32, compute_dtype=compute_dtype
-        )
+        if compute_dtype == "verified":
+            codes = ops.pq_encode_verified(codebooks, rx, dtype=jnp.int32)
+        else:
+            codes = ops.pq_encode(
+                codebooks, rx, dtype=jnp.int32, compute_dtype=compute_dtype
+            )
         rec = ops.pq_decode(codebooks, codes, splits=3 if exact else 1)
     else:
         from . import primitives

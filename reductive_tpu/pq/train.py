@@ -233,7 +233,10 @@ def _chunk_stats(
     from .. import ops
 
     m, k, ds = codebooks.shape
-    if use_kernel:
+    verified = compute_dtype == "verified"
+    if use_kernel and verified:
+        codes = ops.pq_encode_verified(codebooks, xc, dtype=jnp.int32)
+    elif use_kernel:
         codes = ops.pq_encode(
             codebooks, xc, dtype=jnp.int32, compute_dtype=compute_dtype
         )
@@ -241,7 +244,7 @@ def _chunk_stats(
         from . import primitives
 
         codes = primitives.quantize_batch(codebooks, xc, dtype=jnp.int32)
-    exact = compute_dtype == jnp.float32
+    exact = verified or compute_dtype == jnp.float32
     # f32 inputs in exact mode even for a low-precision corpus; the
     # compute dtype (bf16) in throughput mode.
     stats_dtype = jnp.float32 if exact else compute_dtype
@@ -305,13 +308,20 @@ def assign_stats_streamed(
     (``reductive_tpu.parallel``)."""
     n, d = x.shape
     m, k, ds = codebooks.shape
-    if use_kernel and projection is None:
+    def kernel_stats(xc):
         from .. import ops
 
-        try:
-            return ops.pq_assign_stats(
-                codebooks, x, compute_dtype=compute_dtype, interpret=interpret
+        if compute_dtype == "verified":
+            return ops.pq_assign_stats_verified(
+                codebooks, xc, interpret=interpret
             )
+        return ops.pq_assign_stats(
+            codebooks, xc, compute_dtype=compute_dtype, interpret=interpret
+        )
+
+    if use_kernel and projection is None:
+        try:
+            return kernel_stats(x)
         except ValueError:
             # No VMEM-feasible kernel tiling (e.g. m=1 with a very large
             # k, where the subquantizer axis cannot split): fall back to
@@ -322,13 +332,8 @@ def assign_stats_streamed(
         if projection is not None:
             xc = jnp.dot(xc, projection, precision="highest")
         if use_kernel:
-            from .. import ops
-
             try:
-                return ops.pq_assign_stats(
-                    codebooks, xc, compute_dtype=compute_dtype,
-                    interpret=interpret,
-                )
+                return kernel_stats(xc)
             except ValueError:  # no VMEM-feasible tiling: einsum stats,
                 pass            # encode kernel (separately tiled) if it fits
         return _chunk_stats(codebooks, xc, use_kernel, compute_dtype)
@@ -384,7 +389,10 @@ def lloyd_iteration_chunked(
     immaterial for Lloyd's convergence).  The kernel's packed-key argmin
     coarsens distances by the low ``log2(k)`` mantissa bits, so near-exact
     ties may resolve differently from the einsum path — measure-zero for
-    continuous data.
+    continuous data; ``"verified"`` removes even that: margin-flagged
+    rows are re-assigned with the exact einsum
+    (:func:`reductive_tpu.ops.pq_assign_stats_verified`), making cell
+    memberships equal the einsum oracle's on every row.
     """
     n, d = x.shape
     m, k, ds = codebooks.shape
