@@ -81,6 +81,26 @@ def test_matches_oracle_on_near_tie_grid():
     check(cb, x)
 
 
+def test_streamed_trainer_verified_cpu():
+    """compute_dtype='verified' flows through the >HBM streamed trainer
+    (virtual-corpus source, einsum fallback off-TPU)."""
+    from reductive_tpu import SyntheticReader, train_pq_streamed
+
+    r = SyntheticReader(1200, 12, seed=9)
+    pq_v = train_pq_streamed(
+        jax.random.PRNGKey(3), r, 3, 4, 4, batch_size=512,
+        compute_dtype="verified",
+    )
+    pq_e = train_pq_streamed(
+        jax.random.PRNGKey(3), r, 3, 4, 4, batch_size=512,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pq_v.codebooks), np.asarray(pq_e.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_trainer_composition_cpu():
     """compute_dtype='verified' flows through train_pq_chunked (einsum
     fallback off-TPU) and trains to the same quality as exact f32."""
