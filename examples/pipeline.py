@@ -46,6 +46,11 @@ def main() -> None:
                     help="also run the fully disk-resident lifecycle "
                          "(streamed training, IVF build from the reader, "
                          "exact refine from the reader) — the >HBM path")
+    ap.add_argument("--virtual", action="store_true",
+                    help="also run the wire-free lifecycle from a "
+                         "device-resident virtual corpus (SyntheticReader) "
+                         "— streamed train, encode, search, exact refine, "
+                         "no disk or host link in the loop")
     args = ap.parse_args()
 
     from reductive_tpu import io, train_opq_chunked, train_pq_chunked
@@ -202,6 +207,44 @@ def main() -> None:
                     for q in range(args.queries)
                 ]))
                 print(f"disk: IVF + disk-refine recall@10: {rec_d:.2f}")
+
+        # 8. Optional wire-free lifecycle from a virtual corpus: every row
+        # is a pure function of its index, generated on device on demand —
+        # the same streaming code paths as --disk with zero host-link
+        # traffic (how benches/config5_full.py runs 100M x 768 on one
+        # chip).
+        if args.virtual:
+            from reductive_tpu import SyntheticReader, train_pq_streamed
+
+            vr = SyntheticReader(args.n, args.d, seed=1)
+            t0 = time.perf_counter()
+            vpq = train_pq_streamed(
+                jax.random.PRNGKey(11), vr, args.m, args.bits,
+                max(2, args.iters // 2), batch_size=1 << 15,
+                use_kernel=on_tpu,
+                compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            )
+            jax.block_until_ready(vpq.codebooks)
+            print(f"virtual: streamed PQ training in "
+                  f"{time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            vcodes = jnp.concatenate([
+                vpq.quantize_batch(b, method="kernel" if on_tpu else "exact")
+                for _, b in vr.batches(1 << 15)
+            ])
+            jax.block_until_ready(vcodes)
+            print(f"virtual: encoded {args.n} rows on device in "
+                  f"{time.perf_counter()-t0:.1f}s (codes stay in HBM)")
+            planted_v = rng.integers(0, args.n, size=args.queries)
+            qv = vr.read_rows(planted_v) + 0.1 * jnp.asarray(
+                rng.standard_normal((args.queries, args.d)).astype(np.float32)
+            )
+            _, vi = search(vpq, qv, vcodes, top_k=10, refine_with=vr)
+            rec_v = float(np.mean([
+                planted_v[q] in np.asarray(vi[q])
+                for q in range(args.queries)
+            ]))
+            print(f"virtual: search + exact-refine recall@10: {rec_v:.2f}")
 
 
 if __name__ == "__main__":
