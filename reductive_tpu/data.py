@@ -275,6 +275,18 @@ def _model_fingerprint(pq: Pq, reader, batch_size: int, dtype) -> str:
     # contents has < 2^-40 odds of leaving all ~72 KB of sampled windows
     # untouched unless the change is narrowly targeted between them.
     path = getattr(reader, "path", None)
+    if path is None and hasattr(reader, "read"):
+        # No backing file (e.g. SyntheticReader): corpus identity from a
+        # few probed rows' bytes — a regenerated same-size virtual corpus
+        # with a different seed must not resume a stale prefix.  One
+        # probe per resumable job, so the device round-trip is immaterial.
+        take = min(reader.n, 16)
+        h.update(np.asarray(reader.read(0, take), np.float32).tobytes())
+        if reader.n > take:
+            mid = reader.n // 2
+            h.update(np.asarray(
+                reader.read(mid, min(16, reader.n - mid)), np.float32
+            ).tobytes())
     if path is not None and os.path.exists(path):
         st = os.stat(path)
         h.update(f"{os.path.basename(path)}:{st.st_size}".encode())

@@ -60,6 +60,26 @@ def test_stream_encode_from_virtual_corpus():
     np.testing.assert_array_equal(codes_stream, codes_direct)
 
 
+def test_resumable_encode_fingerprints_virtual_content(tmp_path):
+    """A same-shape virtual corpus with a different seed must invalidate
+    the resume sidecar (the fingerprint probes row content, not just
+    size)."""
+    from reductive_tpu.data import stream_encode_resumable
+
+    out = str(tmp_path / "codes.u8")
+    r1 = SyntheticReader(600, 16, seed=2)
+    x1 = np.asarray(r1.read(0, 600))
+    pq = train_pq(jax.random.PRNGKey(0), jnp.asarray(x1), 4, 4, 5)
+    c1 = np.array(stream_encode_resumable(
+        pq, r1, out, batch_size=256, use_kernel=False))
+    r2 = SyntheticReader(600, 16, seed=3)
+    c2 = np.array(stream_encode_resumable(
+        pq, r2, out, batch_size=256, use_kernel=False))
+    want2 = np.asarray(pq.quantize_batch(jnp.asarray(np.asarray(r2.read(0, 600)))))
+    np.testing.assert_array_equal(c2, want2)
+    assert not np.array_equal(c1, c2)
+
+
 def test_streamed_training_from_virtual_corpus():
     r = SyntheticReader(1500, 12, seed=5)
     x = jnp.asarray(np.asarray(r.read(0, 1500)))
