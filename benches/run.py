@@ -475,7 +475,9 @@ def bench_config6(quick):
     sumsq = jnp.sum(x.reshape(n, m, ds) ** 2, axis=(0, 2))
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    for cd, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+    for cd, name in (
+        (jnp.float32, "f32"), (jnp.bfloat16, "bf16"), ("verified", "verified")
+    ):
         fn = lambda: lloyd_iteration_chunked(
             x, cb, sumsq, use_kernel=on_tpu, compute_dtype=cd
         )
