@@ -101,6 +101,23 @@ def test_streamed_trainer_verified_cpu():
     )
 
 
+def test_opq_trainer_verified_cpu():
+    """compute_dtype='verified' flows through the chunked OPQ trainer."""
+    from reductive_tpu import train_opq_chunked
+
+    key = jax.random.PRNGKey(45)
+    kx, kt = jax.random.split(key)
+    x = jax.random.uniform(kx, (256, 20), dtype=jnp.float32)
+    pq_v = train_opq_chunked(kt, x, 4, 4, 4, chunk=128,
+                             compute_dtype="verified")
+    pq_e = train_opq_chunked(kt, x, 4, 4, 4, chunk=128,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(pq_v.codebooks), np.asarray(pq_e.codebooks),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_trainer_composition_cpu():
     """compute_dtype='verified' flows through train_pq_chunked (einsum
     fallback off-TPU) and trains to the same quality as exact f32."""
