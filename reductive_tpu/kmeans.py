@@ -393,7 +393,8 @@ def kmeans_with_centroids_chunked(
     so the ``(n, k)`` distance matrix never materializes (40 GB at
     n=10M, k=1024).  A single-quantizer view of the PQ machinery — the
     fused assign+stats kernel with ``m = 1``
-    (:func:`reductive_tpu.ops.pq_assign_stats`).  Same semantics as
+    (:func:`reductive_tpu.ops.pq_assign_stats`; ``compute_dtype`` accepts
+    ``"verified"`` for oracle-exact cell memberships).  Same semantics as
     :func:`kmeans_with_centroids` with :class:`NIterations`; empty
     clusters become the zero vector; the returned loss is the MSE against
     the updated centroids normalized by ``n * d``
