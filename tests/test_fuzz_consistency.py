@@ -60,6 +60,19 @@ def test_encode_decode_stats_agree(n, m, k, ds):
         np.asarray(sums), np.asarray(ref_sums), rtol=1e-5, atol=1e-4
     )
 
+    # Verified stats: cell memberships equal the einsum oracle's exactly.
+    from reductive_tpu.ops import pq_assign_stats_verified
+
+    vsums, vcounts = pq_assign_stats_verified(cb, x, interpret=True)
+    onehot_e = jax.nn.one_hot(codes_e.T, k, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(vcounts), np.asarray(jnp.sum(onehot_e, axis=1))
+    )
+    ref_vsums = jnp.einsum("mck,mcs->mks", onehot_e, xs_m, precision="highest")
+    np.testing.assert_allclose(
+        np.asarray(vsums), np.asarray(ref_vsums), rtol=1e-5, atol=1e-4
+    )
+
 
 @pytest.mark.parametrize("n,m,k,ds", [(300, 4, 16, 3), (77, 2, 16, 6)])
 def test_adc_and_packed_agree(n, m, k, ds):
