@@ -136,11 +136,11 @@ def _stats_kernel(
         )
 
 
-def _choose_stats_tiling(m, kp, d, compute_itemsize, exact=False):
+def _choose_stats_tiling(m, kp, d, compute_itemsize, exact=False,
+                         budget=13 * (1 << 20)):
     """Pick (block_n, groups) within the VMEM budget: resident W + sums
     accumulator + x tile (+ the exact mode's three bf16 x-splits) + ~4
     transient (rows, block_n) buffers."""
-    budget = 13 * (1 << 20)
     w_bytes = m * kp * d * compute_itemsize
     acc_bytes = m * kp * (d + 8) * 4
     # 1024-row blocks measured ~8% faster than 2048 at the flagship shape
@@ -434,7 +434,11 @@ def pq_assign_stats_verified(
             f"quantizer reconstructs {m * ds}"
         )
     kp_probe = _round_up(k, 8)
-    block_n, groups = _choose_stats_tiling(m, kp_probe, d, 4, exact=True)
+    # Tighter budget than the plain kernel: the margin/flag computation
+    # keeps ~3 extra (rows, block_n)-sized transients live per group.
+    block_n, groups = _choose_stats_tiling(
+        m, kp_probe, d, 4, exact=True, budget=10 * (1 << 20)
+    )
     W, c_sqn, kp = pack_block_diagonal(codebooks, jnp.float32, scale=2.0)
     Wt = trunc_split2_bf16_stacked(W.T)
     idx_bits = max(1, (kp - 1).bit_length())
