@@ -81,6 +81,16 @@ def test_matches_oracle_on_near_tie_grid():
     check(cb, x)
 
 
+def test_matches_oracle_wide_codebook():
+    """k > 256 exercises >8 packed index bits through the verified path."""
+    key = jax.random.PRNGKey(46)
+    kc, kx = jax.random.split(key)
+    m, k, ds, n = 2, 300, 4, 700
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    check(cb, x)
+
+
 def test_streamed_trainer_verified_cpu():
     """compute_dtype='verified' flows through the >HBM streamed trainer
     (virtual-corpus source, einsum fallback off-TPU)."""
