@@ -81,6 +81,20 @@ def test_matches_oracle_on_near_tie_grid():
     check(cb, x)
 
 
+def test_fallback_einsum_stats_chunked_padding():
+    """The any-flag-rate fallback pass handles odd n / padded chunks."""
+    from reductive_tpu.ops.stats import _einsum_stats_chunked
+
+    kc, kx = jax.random.split(jax.random.PRNGKey(5))
+    m, k, ds, n = 3, 9, 2, 777
+    cb = jax.random.normal(kc, (m, k, ds), dtype=jnp.float32)
+    x = jax.random.normal(kx, (n, m * ds), dtype=jnp.float32)
+    s, c = _einsum_stats_chunked(cb, x, chunk=256)
+    so, co = oracle_stats(cb, x)
+    np.testing.assert_array_equal(np.asarray(c), co)
+    np.testing.assert_allclose(np.asarray(s), so, rtol=1e-5, atol=1e-5)
+
+
 def test_matches_oracle_wide_codebook():
     """k > 256 exercises >8 packed index bits through the verified path."""
     key = jax.random.PRNGKey(46)
