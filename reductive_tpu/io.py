@@ -61,6 +61,11 @@ def save(path: Union[str, os.PathLike], pq) -> None:
         }
         if pq.pq.projection is not None:
             arrays["projection"] = np.asarray(pq.pq.projection)
+        # Build metadata: rows dropped under on_overflow="drop".  Persist
+        # it so a reloaded index still reports its incompleteness.
+        dropped = np.asarray(getattr(pq, "dropped_ids", np.empty(0, np.int64)))
+        if dropped.size:
+            arrays["dropped_ids"] = dropped.astype(np.int64)
         _atomic_savez(path, arrays)
         return
 
@@ -99,11 +104,17 @@ def load(path: Union[str, os.PathLike]):
         if fmt == _FORMAT_IVF:
             from .ivf import IvfPq
 
-            return IvfPq(
+            index = IvfPq(
                 coarse_centroids=jnp.asarray(data["coarse_centroids"]),
                 pq=Pq(codebooks=codebooks, projection=projection),
                 cell_codes=jnp.asarray(data["cell_codes"]),
                 cell_ids=jnp.asarray(data["cell_ids"]),
                 cell_norms=jnp.asarray(data["cell_norms"]),
             )
+            index.dropped_ids = (
+                np.asarray(data["dropped_ids"])
+                if "dropped_ids" in data.files
+                else np.empty(0, np.int64)
+            )
+            return index
     return Pq(codebooks=codebooks, projection=projection)

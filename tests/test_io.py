@@ -63,3 +63,28 @@ def test_save_is_atomic(tmp_path):
     rio.save(path, pq2)
     np.testing.assert_array_equal(np.asarray(rio.load(path).codebooks), 2.0)
     assert not (tmp_path / "pq.npz.tmp").exists()
+
+
+def test_ivf_roundtrip_preserves_dropped_ids(tmp_path):
+    """An IVF artifact keeps its build metadata: a reloaded dropped-rows
+    index still reports which corpus rows it is missing."""
+    from reductive_tpu.ivf import build_ivf, ivf_search, train_ivf_pq
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (200, 8), dtype=jnp.float32)
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                      on_overflow="drop")
+    assert index.dropped_ids.size > 0
+    path = tmp_path / "ivf.npz"
+    rio.save(path, index)
+    back = rio.load(path)
+    np.testing.assert_array_equal(back.dropped_ids, index.dropped_ids)
+    # And a drop-free index round-trips with the empty default.
+    full = build_ivf(coarse, pq, x, use_kernel=False)
+    rio.save(path, full)
+    assert rio.load(path).dropped_ids.size == 0
+    # Search still works on the reloaded index.
+    _, ids = ivf_search(back, x[:2], top_k=5, nprobe=2, use_kernel=False)
+    assert np.asarray(ids).shape == (2, 5)
