@@ -124,11 +124,17 @@ def main():
                     help="use the actual devices (pod run) instead of a "
                          "virtual CPU mesh")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--max-devices", type=int, default=None,
+                    help="cap the largest mesh (e.g. to bench a slice of "
+                         "a pod, or to smoke-test the --real path on a "
+                         "small mesh)")
     args = ap.parse_args()
 
     jax = _setup(args.real)
     virtual = not args.real
     n_dev = len(jax.devices())
+    if args.max_devices is not None:
+        n_dev = min(n_dev, args.max_devices)
     mesh_sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
 
     m, bits, d = 8, 6, 64
