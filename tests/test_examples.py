@@ -71,3 +71,18 @@ def test_pipeline_disk_smoke(capsys, monkeypatch):
             break
     else:
         raise AssertionError("disk refine line missing:\n" + out)
+
+
+def test_pipeline_opq_smoke(capsys, monkeypatch):
+    # OPQ flavor of the example: rotation learned, persisted, reloaded.
+    root = Path(__file__).resolve().parent.parent
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline.py", "--n", "3000", "--d", "32", "--m", "8",
+        "--bits", "4", "--iters", "3", "--queries", "4", "--opq",
+    ])
+    runpy.run_path(str(root / "examples" / "pipeline.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "trained OPQ" in out
+    for line in out.splitlines():
+        if "recall@10 of the planted nearest neighbor:" in line:
+            assert float(line.rsplit(" ", 1)[1]) >= 0.75, line
