@@ -118,9 +118,10 @@ def adc_scores_kernel(
     kp = _round_up(k, 8)
     if splits == "int8":
         # Affine per-(query, subquantizer) quantization over [min, max]:
-        # tables are non-negative squared distances with a large constant
-        # offset per query, so symmetric [-max, max] would waste the sign
-        # bit and half the resolution.  Subtracting the per-table minimum
+        # L2 tables are non-negative squared distances with a large
+        # constant offset per query (dot-metric tables are negated inner
+        # products, offset the other way), so symmetric [-max, max] would
+        # waste resolution.  Subtracting the per-table minimum
         # shifts every score by a per-query constant (sum of m minima) —
         # added back exactly in the dequant — and ranking is unchanged.
         t_min = jnp.min(tables, axis=2, keepdims=True)  # (nq, m, 1)

@@ -51,13 +51,28 @@ def lane_multihot(codes, m: int, kp: int, dtype) -> Array:
     a segment-selector matrix and compared against a segment-local iota
     in a single full-width pass (code values < 128 are exact in bf16, so
     the f32 equality is exact)."""
-    bn = codes.shape[0]
     if kp >= 128:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
-        return jnp.concatenate(
-            [(lane == codes[:, j][:, None]).astype(dtype) for j in range(m)],
-            axis=1,
-        )
+        return _multihot_concat(codes, m, kp, dtype)
+    return _multihot_broadcast(codes, m, kp, dtype)
+
+
+def _multihot_concat(codes, m: int, kp: int, dtype) -> Array:
+    """Per-segment compare + concatenate (needs ``kp`` a lane-tile multiple
+    to avoid padding each piece to 128 lanes)."""
+    bn = codes.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bn, kp), 1)
+    return jnp.concatenate(
+        [(lane == codes[:, j][:, None]).astype(dtype) for j in range(m)],
+        axis=1,
+    )
+
+
+def _multihot_broadcast(codes, m: int, kp: int, dtype) -> Array:
+    """One full-width pass: broadcast each segment's code value across its
+    ``kp`` lanes with a tiny MXU dot and compare against a segment-local
+    iota.  Exact only while code values are exactly representable in
+    bfloat16, i.e. ``kp <= 256``."""
+    bn = codes.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (bn, m * kp), 1)
     sub = (lane % kp).astype(jnp.float32)
     # E[r, c] = 1 where column c belongs to segment r: expected = codes @ E.

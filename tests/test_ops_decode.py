@@ -110,3 +110,19 @@ def test_decode_kernel_packed_u4():
     with pytest.raises(ValueError, match="k <= 16"):
         big = jax.random.normal(kc, (2, 32, 4), dtype=jnp.float32)
         pq_decode(big, jnp.zeros((4, 1), jnp.uint8), packed=True, interpret=True)
+
+
+@pytest.mark.parametrize("m,kp", [(4, 128), (16, 256), (2, 256)])
+def test_multihot_constructions_agree_wide(m, kp):
+    # The broadcast construction is exact up to kp=256 (code values are
+    # integers < 256, exactly representable in bfloat16); it must match
+    # the concat construction bit-for-bit so either can serve kp >= 128.
+    from reductive_tpu.ops.decode import _multihot_broadcast, _multihot_concat
+
+    codes = jax.random.randint(jax.random.PRNGKey(kp + m), (137, m), 0, kp)
+    codes = codes.astype(jnp.int32)
+    a = _multihot_concat(codes, m, kp, jnp.float32)
+    b = _multihot_broadcast(codes, m, kp, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Each row block carries exactly one 1 per segment.
+    assert np.all(np.asarray(jnp.sum(b, axis=1)) == m)
