@@ -705,6 +705,111 @@ def bench_config8_recall(quick):
                extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
 
 
+def _exact_top10_ip(queries, x, n):
+    """Chunked exact MIPS ground truth (never materializes (nq, n))."""
+    import numpy as np
+
+    nq = queries.shape[0]
+    best = jnp.full((nq, 10), -jnp.inf), jnp.zeros((nq, 10), jnp.int32)
+    step = 250_000
+    for off in range(0, n, step):
+        ip = jnp.dot(queries, x[off:off + step].T,
+                     preferred_element_type=jnp.float32)
+        val, idx = jax.lax.top_k(ip, 10)
+        cat_v = jnp.concatenate([best[0], val], axis=1)
+        cat_i = jnp.concatenate([best[1], idx + off], axis=1)
+        val2, sel = jax.lax.top_k(cat_v, 10)
+        best = val2, jnp.take_along_axis(cat_i, sel, axis=1)
+    return np.asarray(best[1])
+
+
+def bench_config9_mips(quick):
+    """MIPS/cosine serving (metric="dot"): recall@10 vs exact inner
+    product on an L2-normalized correlated corpus (the cosine regime,
+    where embedding serving actually lives).  Exhaustive dot-ADC, + exact
+    refine, IVF-IP at nprobe in {4, 16}, and IVF-IP + refine, all at
+    matched 16 bytes/vector; latency for a 16-query batch."""
+    import numpy as np
+
+    from reductive_tpu import train_pq_chunked
+    from reductive_tpu.ivf import build_ivf, ivf_search, train_ivf_pq
+    from reductive_tpu.search import search
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    n = 50_000 if quick else 1_000_000
+    C = 128 if quick else 1024
+    d, m, bits, nq = 128, 16, 8, 16
+    method = "kernel" if on_tpu else "einsum"
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(31), 5)
+    r = 24
+    A = jax.random.normal(k1, (r, d), dtype=jnp.float32)
+    centers = jnp.dot(
+        jax.random.normal(k2, (512, r), dtype=jnp.float32) * 2.0, A
+    ) / jnp.sqrt(r)
+    member = jax.random.randint(k3, (n,), 0, 512)
+    noise = jnp.dot(
+        jax.random.normal(k4, (n, r), dtype=jnp.float32) * 0.4, A
+    ) / jnp.sqrt(r)
+    x = jnp.take(centers, member, axis=0) + noise + 0.05 * jax.random.normal(
+        k5, (n, d), dtype=jnp.float32
+    )
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    queries = x[:: n // nq][:nq] + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(32), (nq, d), dtype=jnp.float32
+    )
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    true10 = _exact_top10_ip(queries, x, n)
+
+    def recall(ids):
+        return float(np.mean([
+            len(set(np.asarray(ids)[q]) & set(true10[q])) / 10
+            for q in range(nq)
+        ]))
+
+    flat_pq = train_pq_chunked(
+        jax.random.PRNGKey(33), x[:262_144], m, bits, 8, use_kernel=on_tpu,
+    )
+    codes = (
+        jax.jit(lambda c, v: __import__("reductive_tpu").ops.pq_encode(
+            c, v, dtype=jnp.uint8))(flat_pq.codebooks, x)
+        if on_tpu else flat_pq.quantize_batch(x)
+    )
+    coarse, rpq = train_ivf_pq(
+        jax.random.PRNGKey(34), x, C, m, bits, use_kernel=on_tpu,
+        coarse_iterations=8, pq_iterations=8,
+    )
+    index = build_ivf(coarse, rpq, x, capacity="auto", use_kernel=on_tpu)
+
+    fn = lambda: search(flat_pq, queries, codes, top_k=10, method=method,
+                        metric="dot")[1]
+    dt = timeit(lambda: fn(), iters=2 if quick else 5)
+    record("config9_mips_exhaustive_dot_adc", dt,
+           extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
+
+    fn = lambda: search(flat_pq, queries, codes, top_k=10, method=method,
+                        metric="dot", refine_with=x, refine_factor=4)[1]
+    dt = timeit(lambda: fn(), iters=2 if quick else 5)
+    record("config9_mips_exhaustive_dot_refine4", dt,
+           extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
+
+    for nprobe in (4, 16):
+        fn = lambda: ivf_search(index, queries, top_k=10, nprobe=nprobe,
+                                use_kernel=on_tpu, metric="dot")[1]
+        dt = timeit(lambda: fn(), iters=2 if quick else 5)
+        record(f"config9_mips_ivf_nprobe{nprobe}", dt,
+               extra={"recall10": round(recall(fn()), 3),
+                      "scanned_fraction": round(nprobe / C, 4),
+                      "bytes_per_vec": m})
+
+    fn = lambda: ivf_search(index, queries, top_k=10, nprobe=16,
+                            use_kernel=on_tpu, metric="dot",
+                            refine_with=x, refine_factor=4)[1]
+    dt = timeit(lambda: fn(), iters=2 if quick else 5)
+    record("config9_mips_ivf_nprobe16_refine4", dt,
+           extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CPU/CI)")
@@ -726,6 +831,7 @@ def main():
         "config6": bench_config6,
         "config7": bench_config7_ivf,
         "config8": bench_config8_recall,
+        "config9": bench_config9_mips,
     }
     selected = args.only.split(",") if args.only else list(groups)
     for name in selected:

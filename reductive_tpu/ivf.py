@@ -51,7 +51,10 @@ from .pq.model import Pq
 
 logger = logging.getLogger("reductive_tpu")
 
-__all__ = ["IvfPq", "train_ivf_pq", "build_ivf", "ivf_search", "ivf_search_sharded"]
+__all__ = [
+    "IvfPq", "train_ivf_pq", "build_ivf", "ivf_add", "ivf_remove",
+    "ivf_search", "ivf_search_sharded",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -259,6 +262,41 @@ def _greedy_place(
     return cell, slot, fill
 
 
+def _spill_place(
+    remaining: np.ndarray,
+    coarse: Array,
+    fetch_rows,
+    C: int,
+    L: int,
+    fill: np.ndarray,
+    cell_of: np.ndarray,
+    slot_of: np.ndarray,
+) -> None:
+    """Final placement pass for rows that fit none of their candidate
+    cells: each is placed in the nearest cell *anywhere* with free space.
+    Ranks only the cells that still have space (usually a small subset);
+    rows whose ranked cells fill up mid-pass retry against the shrunken
+    space set — each pass places at least the earliest-ordered rows, so
+    this terminates.  Mutates ``fill``/``cell_of``/``slot_of``."""
+    while len(remaining):
+        space_cells = np.where(fill < L)[0]
+        sub = jnp.take(coarse, space_cells.astype(np.int32), axis=0)
+        Asp = int(min(len(space_cells), 16))
+        bf = max(8192, (1 << 26) // max(1, len(space_cells)))
+        csp = np.empty((len(remaining), Asp), np.int64)
+        for off in range(0, len(remaining), bf):
+            rows = remaining[off : off + bf]
+            csp[off : off + bf] = np.asarray(
+                _coarse_topk(fetch_rows(rows), sub, Asp)
+            )
+        cands_sp = space_cells[csp]  # map back to global cell ids
+        cell_sp, slot_sp, fill = _greedy_place(cands_sp, C, L, fill)
+        ok = cell_sp >= 0
+        cell_of[remaining[ok]] = cell_sp[ok]
+        slot_of[remaining[ok]] = slot_sp[ok]
+        remaining = remaining[~ok]
+
+
 @functools.partial(jax.jit, static_argnames=("use_kernel", "out_dtype"))
 def _residual_encode_batch(
     coarse: Array, pq: Pq, xb: Array, cc: Array, use_kernel: bool, out_dtype
@@ -410,31 +448,9 @@ def build_ivf(
                     f"IVF build: total capacity C*L = {C * L} < n = {n}; "
                     f"no spill placement exists — raise capacity"
                 )
-            # Rank only the cells that still HAVE free space (usually a
-            # small subset), not all C: a full (rows, C) preference
-            # matrix at 370k leftover rows was ~6 GB of device-to-host
-            # transfer.  Rows whose ranked cells fill up mid-pass retry
-            # against the shrunken space set; each pass places at least
-            # the earliest-ordered rows, so this terminates.
-            remaining = overflowed
-            n_spilled = len(remaining)
-            while len(remaining):
-                space_cells = np.where(fill < L)[0]
-                sub = jnp.take(coarse, space_cells.astype(np.int32), axis=0)
-                Asp = int(min(len(space_cells), 16))
-                bf = max(8192, (1 << 26) // max(1, len(space_cells)))
-                csp = np.empty((len(remaining), Asp), np.int64)
-                for off in range(0, len(remaining), bf):
-                    rows = remaining[off : off + bf]
-                    csp[off : off + bf] = np.asarray(
-                        _coarse_topk(fetch_rows(rows), sub, Asp)
-                    )
-                cands_sp = space_cells[csp]  # map back to global cell ids
-                cell_sp, slot_sp, fill = _greedy_place(cands_sp, C, L, fill)
-                ok = cell_sp >= 0
-                cell_of[remaining[ok]] = cell_sp[ok]
-                slot_of[remaining[ok]] = slot_sp[ok]
-                remaining = remaining[~ok]
+            n_spilled = len(overflowed)
+            _spill_place(overflowed, coarse, fetch_rows, C, L, fill,
+                         cell_of, slot_of)
             logger.info(
                 "IVF build: %d rows spilled to the nearest cell with free "
                 "space", n_spilled,
@@ -525,6 +541,201 @@ def build_ivf(
     return index
 
 
+def _assign_free_slots(
+    cell_of: np.ndarray, slot_of: np.ndarray, cell_ids_np: np.ndarray
+) -> np.ndarray:
+    """Map greedy-place virtual slot ranks to *actual* empty slot indices.
+
+    ``_greedy_place`` numbers slots ``fill + rank`` assuming occupancy is
+    a prefix of each cell — true for a virgin build, false after
+    :func:`ivf_remove` leaves holes.  Re-assign each placed row, in rank
+    order, to its cell's real empty slots."""
+    out = np.full_like(slot_of, -1)
+    placed = np.where(cell_of >= 0)[0]
+    order = np.lexsort((slot_of[placed], cell_of[placed]))
+    rows = placed[order]
+    cells = cell_of[rows]
+    for c in np.unique(cells):
+        rmask = cells == c
+        free = np.where(cell_ids_np[c] < 0)[0]
+        out[rows[rmask]] = free[: int(rmask.sum())]
+    return out
+
+
+def ivf_add(
+    index: IvfPq,
+    instances: Array,
+    ids: Optional[np.ndarray] = None,
+    *,
+    overflow_candidates: int = 4,
+    on_overflow: str = "spill",
+    batch: int = 262_144,
+    use_kernel: Optional[bool] = None,
+) -> IvfPq:
+    """Incrementally add vectors to an existing index (functional — the
+    input index is untouched and a new :class:`IvfPq` is returned).
+
+    New rows go to empty slots of their nearest coarse cell (then the
+    next ``overflow_candidates`` cells with space, then — under the
+    default ``on_overflow="spill"`` — the nearest cell anywhere with
+    space; ``"error"``/``"drop"`` as in :func:`build_ivf`).  Slots freed
+    by :func:`ivf_remove` are reused.  Quantizers are NOT retrained:
+    after heavy distribution drift or when cells fill up
+    (``ValueError: total free capacity``), rebuild with
+    :func:`build_ivf` at a larger capacity.
+
+    ``ids`` are the corpus rows the new vectors represent (defaults to
+    ``max(existing ids) + 1 + arange(n_new)``); duplicates of live ids
+    are rejected.  Complexity is O(n_new) device work + one host
+    scatter; the resident cell tensors are copied once (O(C·L·m) host
+    memory, no device round-trip of the old cells).
+    """
+    if _is_reader(instances):
+        raise TypeError(
+            "ivf_add takes a device/host array; for reader-scale corpora "
+            "rebuild with build_ivf(reader)"
+        )
+    if on_overflow not in ("spill", "error", "drop"):
+        raise ValueError(
+            f'on_overflow must be "spill", "error", or "drop", '
+            f"got {on_overflow!r}"
+        )
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    n_new, d = instances.shape
+    coarse = index.coarse_centroids
+    C, L = index.n_cells, index.capacity
+    m = index.pq.quantized_len
+    dtype = index.cell_codes.dtype
+
+    cell_ids_np = np.asarray(index.cell_ids)
+    live_ids = cell_ids_np[cell_ids_np >= 0]
+    if ids is None:
+        start = int(live_ids.max()) + 1 if live_ids.size else 0
+        ids = start + np.arange(n_new, dtype=np.int64)
+    else:
+        ids = np.asarray(ids, dtype=np.int64)
+        if ids.shape != (n_new,):
+            raise ValueError(
+                f"ids has shape {ids.shape}, expected ({n_new},)"
+            )
+        clash = np.intersect1d(ids, live_ids)
+        if clash.size:
+            raise ValueError(
+                f"{clash.size} ids already live in the index "
+                f"(first: {clash[:5].tolist()}); ivf_remove them first"
+            )
+        if len(np.unique(ids)) != n_new:
+            raise ValueError("duplicate ids in the batch")
+
+    fill = (cell_ids_np >= 0).sum(axis=1).astype(np.int64)
+    free_total = int(C * L - fill.sum())
+    if free_total < n_new and on_overflow != "drop":
+        raise ValueError(
+            f"IVF add: total free capacity {free_total} < {n_new} new "
+            f"rows; rebuild with build_ivf at a larger capacity"
+        )
+
+    def fetch_rows(rows: np.ndarray):
+        return jnp.take(instances, rows.astype(np.int32), axis=0)
+
+    A = min(overflow_candidates, C)
+    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
+    tops = [
+        _coarse_topk(instances[off : off + b1], coarse, A)
+        for off in range(0, n_new, b1)
+    ]
+    cands = np.asarray(jnp.concatenate(tops, axis=0)).astype(np.int64)
+    del tops
+
+    cell_of, slot_of, fill = _greedy_place(cands, C, L, fill)
+    overflowed = np.where(cell_of < 0)[0]
+    dropped_ids = np.empty(0, np.int64)
+    if len(overflowed):
+        if on_overflow == "error":
+            raise ValueError(
+                f"IVF add: {len(overflowed)} rows fit none of their {A} "
+                f"candidate cells at capacity {L}; raise capacity or use "
+                f'on_overflow="spill"'
+            )
+        if on_overflow == "spill":
+            _spill_place(overflowed, coarse, fetch_rows, C, L, fill,
+                         cell_of, slot_of)
+        else:  # "drop"
+            dropped_ids = ids[overflowed]
+            logger.warning(
+                "IVF add: %d rows dropped (ids on index.dropped_ids)",
+                len(overflowed),
+            )
+
+    slot_of = _assign_free_slots(cell_of, slot_of, cell_ids_np)
+
+    placed_rows = np.where(cell_of >= 0)[0]
+    codes_parts, norms_parts = [], []
+    for off in range(0, len(placed_rows), batch):
+        rows = placed_rows[off : off + batch]
+        codes_b, norms_b = _residual_encode_batch(
+            coarse, index.pq, fetch_rows(rows),
+            jnp.asarray(cell_of[rows].astype(np.int32)),
+            use_kernel, jnp.dtype(dtype),
+        )
+        codes_parts.append(codes_b)
+        norms_parts.append(norms_b)
+    cell_codes = np.asarray(index.cell_codes).copy()
+    cell_ids_new = cell_ids_np.copy()
+    cell_norms = np.asarray(index.cell_norms).copy()
+    if len(placed_rows):
+        codes_all = np.asarray(jnp.concatenate(codes_parts, axis=0))
+        norms_all = np.asarray(jnp.concatenate(norms_parts, axis=0))
+        cc = cell_of[placed_rows]
+        ss = slot_of[placed_rows]
+        cell_codes[cc, ss] = codes_all
+        cell_ids_new[cc, ss] = ids[placed_rows]
+        cell_norms[cc, ss] = norms_all
+
+    logger.info("IVF add: %d rows placed (%d dropped)",
+                len(placed_rows), len(dropped_ids))
+    out = IvfPq(
+        coarse_centroids=coarse,
+        pq=index.pq,
+        cell_codes=jnp.asarray(cell_codes),
+        cell_ids=jnp.asarray(cell_ids_new),
+        cell_norms=jnp.asarray(cell_norms),
+    )
+    # Accumulate with the input index's record (a build under
+    # on_overflow="drop" stores its dropped rows there; losing it on the
+    # next add would break the artifact's build-metadata contract).
+    out.dropped_ids = np.concatenate([
+        getattr(index, "dropped_ids", np.empty(0, np.int64)), dropped_ids
+    ])
+    return out
+
+
+def ivf_remove(index: IvfPq, ids) -> IvfPq:
+    """Remove vectors by corpus id (functional — returns a new index).
+
+    Matching slots become empty (``id=-1``, masked at score time) and
+    are reused by subsequent :func:`ivf_add` calls; cell tensors keep
+    their static shapes, so compiled search programs are unaffected.
+    Ids not present in the index are ignored (removal is idempotent).
+    """
+    ids = np.asarray(ids, dtype=np.int64).ravel()
+    cell_ids_np = np.asarray(index.cell_ids)
+    kill = np.isin(cell_ids_np, ids) & (cell_ids_np >= 0)
+    n_removed = int(kill.sum())
+    cell_ids_new = np.where(kill, -1, cell_ids_np)
+    logger.info("IVF remove: %d of %d requested ids removed",
+                n_removed, len(np.unique(ids)))
+    out = IvfPq(
+        coarse_centroids=index.coarse_centroids,
+        pq=index.pq,
+        cell_codes=index.cell_codes,
+        cell_ids=jnp.asarray(cell_ids_new.astype(np.int32)),
+        cell_norms=index.cell_norms,
+    )
+    out.dropped_ids = getattr(index, "dropped_ids", np.empty(0, np.int64))
+    return out
+
 def _probe_and_score(
     queries: Array,
     coarse: Array,
@@ -535,26 +746,35 @@ def _probe_and_score(
     nprobe: int,
     use_kernel: bool,
     splits,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
     """Score the top-``nprobe`` cells of the given coarse block for every
     query; returns flattened ``(scores, ids)`` of shape
     ``(nq, nprobe * L)`` (empty slots at ``+inf`` / ``-1``).  The shared
     core of the single-device and sharded searches — in the sharded case
     ``coarse``/``cell_*`` are one device's shard and ``cell_ids`` carry
-    global corpus rows."""
+    global corpus rows.
+
+    ``metric="dot"`` probes the cells with the **largest** query·centroid
+    inner product and scores by the exact same IVFADC decomposition for
+    inner products, ``<q, c + rec> = q.c + q.rec`` (scores are negated so
+    ascending order still means best-first); cell norms are unused."""
     cb = pq.codebooks
     m, k, ds = cb.shape
     d = m * ds
     nq = queries.shape[0]
     L = cell_codes.shape[1]
 
-    # Nearest coarse cells — one MXU matmul feeding both the distances
-    # (for probe selection) and the q.c terms (for scoring).
+    # Nearest coarse cells — one MXU matmul feeding both the probe
+    # selection and the q.c terms (for scoring).
     qc = jnp.dot(queries, coarse.T, precision="highest")      # (nq, C)
-    q_sqn = jnp.sum(queries * queries, axis=1)                # (nq,)
-    c_sqn = jnp.sum(coarse * coarse, axis=1)                  # (C,)
-    coarse_d2 = q_sqn[:, None] + c_sqn[None, :] - 2.0 * qc
-    _, probe = jax.lax.top_k(-coarse_d2, nprobe)              # (nq, np)
+    if metric == "dot":
+        _, probe = jax.lax.top_k(qc, nprobe)                  # (nq, np)
+    else:
+        q_sqn = jnp.sum(queries * queries, axis=1)            # (nq,)
+        c_sqn = jnp.sum(coarse * coarse, axis=1)              # (C,)
+        coarse_d2 = q_sqn[:, None] + c_sqn[None, :] - 2.0 * qc
+        _, probe = jax.lax.top_k(-coarse_d2, nprobe)          # (nq, np)
     qc_g = jnp.take_along_axis(qc, probe, axis=1)             # (nq, np)
 
     # Gather the probed cells (contiguous row blocks — cheap).
@@ -600,9 +820,12 @@ def _probe_and_score(
         axis=1,
     )
 
-    scores = (
-        q_sqn[:, None, None] + norms_g - 2.0 * qc_g[:, :, None] - 2.0 * dot
-    )
+    if metric == "dot":
+        scores = -(qc_g[:, :, None] + dot)
+    else:
+        scores = (
+            q_sqn[:, None, None] + norms_g - 2.0 * qc_g[:, :, None] - 2.0 * dot
+        )
     scores = jnp.where(ids_g >= 0, scores, jnp.inf)  # mask empty slots
     return scores.reshape(nq, -1), ids_g.reshape(nq, -1)
 
@@ -627,15 +850,16 @@ def _padded_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "nprobe", "use_kernel", "splits")
+    jax.jit,
+    static_argnames=("top_k", "nprobe", "use_kernel", "splits", "metric"),
 )
 def _ivf_search_jit(
     index: IvfPq, queries: Array, top_k: int, nprobe: int,
-    use_kernel: bool, splits,
+    use_kernel: bool, splits, metric: str = "l2",
 ) -> Tuple[Array, Array]:
     flat_scores, flat_ids = _probe_and_score(
         queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
-        index.cell_norms, index.pq, nprobe, use_kernel, splits,
+        index.cell_norms, index.pq, nprobe, use_kernel, splits, metric,
     )
     return _padded_topk(flat_scores, flat_ids, top_k)
 
@@ -650,6 +874,7 @@ def ivf_search(
     splits: int = 2,
     refine_with: Optional[Array] = None,
     refine_factor: int = 4,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
     """Top-``top_k`` approximate neighbors per query, scanning only the
     ``nprobe`` nearest coarse cells.
@@ -673,7 +898,20 @@ def ivf_search(
     adds the exact refine stage: ``top_k * refine_factor`` IVF candidates
     are re-scored with true squared distances and the best ``top_k``
     returned (same contract as :func:`reductive_tpu.search.search`).
+
+    ``metric="dot"`` searches by **maximum inner product** instead
+    (FAISS ``METRIC_INNER_PRODUCT`` analog): cells are still Euclidean
+    k-means partitions, probed by largest query·centroid product, and
+    candidates score by the exact IP decomposition
+    ``<q, c + rec> = q.c + q.rec``.  Returned "distances" are negated
+    inner products (ascending = best).  Caveat inherent to IVF-IP:
+    high-norm corpus vectors in far cells can be missed — raise
+    ``nprobe`` (or use exhaustive ``search(metric="dot")``) when the
+    norm distribution is heavy-tailed.  Cosine = dot on pre-normalized
+    corpus/queries, where this caveat vanishes.
     """
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if refine_with is not None:
@@ -682,9 +920,13 @@ def ivf_search(
         if refine_factor < 1:
             raise ValueError("refine_factor must be >= 1")
         r = top_k * refine_factor
-        _, cand = _ivf_search_jit(index, queries, r, nprobe, use_kernel, splits)
-        return _refine_jit(queries, refine_with, cand, top_k)
-    return _ivf_search_jit(index, queries, top_k, nprobe, use_kernel, splits)
+        _, cand = _ivf_search_jit(
+            index, queries, r, nprobe, use_kernel, splits, metric
+        )
+        return _refine_jit(queries, refine_with, cand, top_k, metric)
+    return _ivf_search_jit(
+        index, queries, top_k, nprobe, use_kernel, splits, metric
+    )
 
 
 def ivf_search_sharded(
@@ -697,6 +939,7 @@ def ivf_search_sharded(
     cell_axis: str = "data",
     use_kernel: Optional[bool] = None,
     splits: int = 2,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
     """Multi-chip IVF search: cells sharded over ``cell_axis``, queries
     replicated, per-device local top-k merged by an all-gather.
@@ -705,13 +948,17 @@ def ivf_search_sharded(
     Any cell in the global top-``nprobe`` is necessarily in its owner's
     local top-``nprobe`` (fewer than ``nprobe`` cells beat it anywhere),
     so the union of locally probed cells is a **superset** of the
-    single-device probes — result quality is at least that of
+    single-device probes (for ``metric="dot"`` the identical argument
+    holds with "nearest" read as largest inner product) — result quality
+    is at least that of
     :func:`ivf_search` with the same ``nprobe``, per-device work is one
     ``nprobe``-cell scan, and the only communication is the final
     ``(nq, top_k)`` merge (tiny).  ``n_cells`` must divide the axis
     size; ``cell_ids`` hold global corpus rows, so merged ids are
     directly usable.
     """
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -742,13 +989,15 @@ def ivf_search_sharded(
     norms = jax.device_put(
         index.cell_norms, NamedSharding(mesh, P(cell_axis, None))
     )
-    run = _ivf_sharded_fn(mesh, cell_axis, nprobe, top_k, use_kernel, splits)
+    run = _ivf_sharded_fn(
+        mesh, cell_axis, nprobe, top_k, use_kernel, splits, metric
+    )
     return run(queries, coarse, codes, ids, norms, index.pq)
 
 
 @functools.lru_cache(maxsize=None)
 def _ivf_sharded_fn(mesh, cell_axis: str, nprobe: int, top_k: int,
-                    use_kernel: bool, splits):
+                    use_kernel: bool, splits, metric: str = "l2"):
     """Build (and cache) the jitted sharded IVF search for a mesh/config —
     a fresh closure per call would re-trace and re-compile every time."""
     from jax.sharding import PartitionSpec as P
@@ -767,7 +1016,7 @@ def _ivf_sharded_fn(mesh, cell_axis: str, nprobe: int, top_k: int,
     def run(q, coarse_l, codes_l, ids_l, norms_l, pq):
         scores, cand_ids = _probe_and_score(
             q, coarse_l, codes_l, ids_l, norms_l, pq, nprobe, use_kernel,
-            splits,
+            splits, metric,
         )
         d_loc, i_loc = _padded_topk(scores, cand_ids, top_k)
         # Merge: gather every device's local top-k and reselect.

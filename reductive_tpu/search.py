@@ -31,7 +31,10 @@ from jax import Array
 
 from .pq.model import Pq
 
-__all__ = ["adc_tables", "adc_scores", "adc_scores_decode", "search"]
+__all__ = [
+    "adc_tables", "adc_scores", "adc_scores_decode", "search",
+    "search_sharded",
+]
 
 # search() auto-switches to the streamed scorer when the full (nq, n)
 # score matrix would exceed this many f32 elements (64M = 256 MB) — a
@@ -58,13 +61,25 @@ def _resolve_stream_chunk(
     return None
 
 
-def adc_tables(pq: Pq, queries: Array, *, precision="highest") -> Array:
-    """Per-query squared-distance lookup tables.
+def adc_tables(
+    pq: Pq, queries: Array, *, metric: str = "l2", precision="highest"
+) -> Array:
+    """Per-query lookup tables.
 
-    Returns ``(nq, m, k)`` where entry ``[q, j, c]`` is the squared
-    Euclidean distance between subvector ``j`` of (rotated) query ``q``
-    and centroid ``c`` of subquantizer ``j``.
+    Returns ``(nq, m, k)``.  With ``metric="l2"`` (default) entry
+    ``[q, j, c]`` is the squared Euclidean distance between subvector
+    ``j`` of (rotated) query ``q`` and centroid ``c`` of subquantizer
+    ``j``; summed over ``j`` that is the exact squared distance to the
+    reconstruction.  With ``metric="dot"`` the entry is the **negated**
+    inner product ``-<q_j, c_c>`` — summing gives ``-<q, rec>``, so
+    ascending score order ranks by *descending* inner product and every
+    downstream top-k works unchanged (MIPS serving; for cosine,
+    L2-normalize corpus and queries before encode/search and dot == cos).
+    The orthonormal projection preserves inner products, so rotated-space
+    tables are valid for both metrics.
     """
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
     if queries.ndim != 2:
         raise ValueError(f"queries must be (nq, d), got {queries.shape}")
     codebooks = pq.codebooks
@@ -77,9 +92,11 @@ def adc_tables(pq: Pq, queries: Array, *, precision="highest") -> Array:
     if pq.projection is not None:
         queries = jnp.dot(queries, pq.projection, precision=precision)
     qs = queries.reshape(-1, m, ds)
+    cross = jnp.einsum("qmd,mkd->qmk", qs, codebooks, precision=precision)
+    if metric == "dot":
+        return -cross
     q_sqn = jnp.einsum("qmd,qmd->qm", qs, qs, precision=precision)
     c_sqn = jnp.einsum("mkd,mkd->mk", codebooks, codebooks, precision=precision)
-    cross = jnp.einsum("qmd,mkd->qmk", qs, codebooks, precision=precision)
     return q_sqn[:, :, None] + c_sqn[None, :, :] - (cross + cross)
 
 
@@ -104,7 +121,8 @@ def _chunk_scores(tables_flat: Array, codes_chunk: Array, k: int) -> Array:
 
 
 def adc_scores_decode(
-    pq: Pq, queries: Array, codes: Array, *, splits=1, use_kernel: bool = True
+    pq: Pq, queries: Array, codes: Array, *, splits=1, use_kernel: bool = True,
+    metric: str = "l2",
 ) -> Array:
     """``(nq, n)`` approximate squared distances via **decode + one dense
     matmul**: ``||q - rec||^2 = ||q||^2 + ||rec||^2 - 2 q.rec``.
@@ -142,9 +160,11 @@ def adc_scores_decode(
         from .pq import primitives
 
         rec = primitives.reconstruct_batch(cb, codes, method="gather")
+    qrec = jnp.dot(qr, rec.T, preferred_element_type=jnp.float32)
+    if metric == "dot":
+        return -qrec
     rec_sqn = jnp.sum(rec.astype(jnp.float32) ** 2, axis=1)  # (n,)
     q_sqn = jnp.sum(qr.astype(jnp.float32) ** 2, axis=1)     # (nq,)
-    qrec = jnp.dot(qr, rec.T, preferred_element_type=jnp.float32)
     return q_sqn[:, None] + rec_sqn[None, :] - 2.0 * qrec
 
 
@@ -182,18 +202,23 @@ def adc_scores(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "chunk", "chunk_size", "method", "splits", "packed"),
+    static_argnames=(
+        "top_k", "chunk", "chunk_size", "method", "splits", "packed", "metric"
+    ),
 )
 def _search_streamed_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk: int,
     chunk_size: int, method: str, splits: int, packed: bool = False,
+    metric: str = "l2",
 ):
     """Top-k search without materializing the ``(nq, n)`` score matrix:
     a ``lax.scan`` over corpus chunks keeps only a running ``(nq, top_k)``
     best-so-far carry — O(nq * (chunk + top_k)) memory regardless of
     corpus size (6.4 GB of scores at 16 queries x 100M codes otherwise).
     """
-    tables = adc_tables(pq, queries) if method != "decode" else None
+    tables = (
+        adc_tables(pq, queries, metric=metric) if method != "decode" else None
+    )
     nq = queries.shape[0]
     n = codes.shape[0]
 
@@ -207,7 +232,7 @@ def _search_streamed_jit(
         if method == "decode":
             return adc_scores_decode(
                 pq, queries, codes_chunk, splits=splits,
-                use_kernel=jax.default_backend() == "tpu",
+                use_kernel=jax.default_backend() == "tpu", metric=metric,
             )
         # adc_scores keeps its own inner chunking, so the one-hot
         # transient stays bounded even for large stream chunks.
@@ -249,44 +274,54 @@ def _search_streamed_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "chunk_size", "method", "splits", "packed")
+    jax.jit,
+    static_argnames=("top_k", "chunk_size", "method", "splits", "packed", "metric"),
 )
 def _search_jit(
     pq: Pq, queries: Array, codes: Array, top_k: int, chunk_size: int,
-    method: str, splits: int, packed: bool = False,
+    method: str, splits: int, packed: bool = False, metric: str = "l2",
 ):
     if method == "kernel":
         from .ops.adc import adc_scores_kernel
 
-        tables = adc_tables(pq, queries)
+        tables = adc_tables(pq, queries, metric=metric)
         scores = adc_scores_kernel(tables, codes, splits=splits, packed=packed)
     elif method == "decode":
         scores = adc_scores_decode(
             pq, queries, codes, splits=splits,
-            use_kernel=jax.default_backend() == "tpu",
+            use_kernel=jax.default_backend() == "tpu", metric=metric,
         )
     else:
-        tables = adc_tables(pq, queries)
+        tables = adc_tables(pq, queries, metric=metric)
         scores = adc_scores(tables, codes, chunk_size=chunk_size)
     neg_dists, indices = jax.lax.top_k(-scores, top_k)
     return -neg_dists, indices
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "metric"))
 def _refine_scores(
-    queries: Array, cand: Array, cand_idx: Array, top_k: int
+    queries: Array, cand: Array, cand_idx: Array, top_k: int,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
     """Exact re-scoring core on pre-gathered candidate rows ``(nq, R, d)``;
-    padding candidates (``id=-1``) stay at ``+inf``."""
-    diff = cand.astype(jnp.float32) - queries.astype(jnp.float32)[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # (nq, R) exact distances
+    padding candidates (``id=-1``) stay at ``+inf``.  ``metric="dot"``
+    scores by negated inner product (exact MIPS re-ranking)."""
+    if metric == "dot":
+        d2 = -jnp.einsum(
+            "qrd,qd->qr", cand.astype(jnp.float32),
+            queries.astype(jnp.float32), precision="highest",
+        )
+    else:
+        diff = cand.astype(jnp.float32) - queries.astype(jnp.float32)[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)  # (nq, R) exact distances
     d2 = jnp.where(cand_idx >= 0, d2, jnp.inf)
     neg, sel = jax.lax.top_k(-d2, top_k)
     return -neg, jnp.take_along_axis(cand_idx, sel, axis=1)
 
 
 def _refine_jit(
-    queries: Array, corpus, cand_idx: Array, top_k: int
+    queries: Array, corpus, cand_idx: Array, top_k: int,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
     """Exact re-scoring of ADC candidates against the original vectors:
     gather the candidate rows, compute true squared distances, and keep
@@ -306,7 +341,7 @@ def _refine_jit(
         cand = jnp.asarray(rows.reshape(*idx_np.shape, -1))
     else:
         cand = jnp.take(corpus, cand_idx, axis=0)  # take clips ids
-    return _refine_scores(queries, cand, cand_idx, top_k)
+    return _refine_scores(queries, cand, cand_idx, top_k, metric)
 
 
 def search(
@@ -322,11 +357,18 @@ def search(
     packed: bool = False,
     refine_with: Optional[Array] = None,
     refine_factor: int = 4,
+    metric: str = "l2",
 ) -> Tuple[Array, Array]:
-    """Top-``top_k`` nearest encoded vectors per query by ADC.
+    """Top-``top_k`` best encoded vectors per query by ADC.
 
     Returns ``(distances, indices)`` of shape ``(nq, top_k)`` each, sorted
-    ascending by approximate squared distance.  ``method="kernel"`` scores
+    ascending by approximate squared distance.  ``metric="dot"`` ranks by
+    **descending inner product** instead (MIPS serving; returned scores
+    are the negated inner products, still ascending, and exact after
+    ``refine_with``).  For cosine similarity, L2-normalize corpus rows
+    before encoding and queries before searching — dot == cosine on the
+    unit sphere.  :func:`reductive_tpu.ivf.ivf_search` accepts the same
+    ``metric`` (IVF-IP, FAISS ``METRIC_INNER_PRODUCT`` analog).  ``method="kernel"`` scores
     through the fused multi-hot Pallas kernel
     (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) — ~1.4x faster at 16
     queries and ~8x more efficient per query at 128 (full MXU lane
@@ -364,6 +406,8 @@ def search(
         )
     if method not in ("einsum", "kernel", "decode"):
         raise ValueError(f"unknown search method {method!r}")
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
     if refine_with is not None:
         if refine_factor < 1:
             raise ValueError("refine_factor must be >= 1")
@@ -380,8 +424,9 @@ def search(
         _, cand_idx = search(
             pq, queries, codes, r, chunk_size=chunk_size, method=method,
             splits=splits, stream_chunk=stream_chunk, packed=packed,
+            metric=metric,
         )
-        return _refine_jit(queries, refine_with, cand_idx, top_k)
+        return _refine_jit(queries, refine_with, cand_idx, top_k, metric)
     if packed and method != "kernel":
         raise ValueError(
             'packed-u4 codes require method="kernel" (the einsum scorer '
@@ -394,11 +439,12 @@ def search(
     )
     if stream_chunk is not None:
         one = lambda q: _search_streamed_jit(
-            pq, q, codes, top_k, stream_chunk, chunk_size, method, splits, packed
+            pq, q, codes, top_k, stream_chunk, chunk_size, method, splits,
+            packed, metric
         )
     else:
         one = lambda q: _search_jit(
-            pq, q, codes, top_k, chunk_size, method, splits, packed
+            pq, q, codes, top_k, chunk_size, method, splits, packed, metric
         )
     # The ADC kernel keeps its table splits resident in VMEM, which caps
     # the per-call query batch (derived from the kernel's own VMEM-fit
@@ -414,3 +460,123 @@ def search(
                 jnp.concatenate([p[1] for p in parts]),
             )
     return one(queries)
+
+
+def search_sharded(
+    pq: Pq,
+    queries: Array,
+    codes: Array,
+    top_k: int = 10,
+    *,
+    mesh,
+    data_axis: str = "data",
+    chunk_size: int = 16384,
+    method: str = "einsum",
+    splits: int = 2,
+    packed: bool = False,
+    metric: str = "l2",
+    stream_chunk: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """Multi-chip exhaustive ADC search: the code matrix sharded over
+    ``data_axis``, queries replicated, per-device local top-k merged by
+    an all-gather (the same merge as
+    :func:`reductive_tpu.ivf.ivf_search_sharded`).
+
+    Results equal single-device :func:`search` on the same corpus — the
+    global top-``top_k`` is contained in the union of the per-shard
+    top-``top_k``s — while each device scans only its ``n / n_shards``
+    codes and the only communication is the final ``(nq, top_k)`` merge.
+    ``n`` must divide evenly over the axis.  All :func:`search` scoring
+    options (``method``/``splits``/``packed``/``metric``/
+    ``stream_chunk``) apply per shard.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be >= 1")
+    if method not in ("einsum", "kernel", "decode"):
+        raise ValueError(f"unknown search method {method!r}")
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
+    n = codes.shape[0]
+    n_shards = mesh.shape[data_axis]
+    if n % n_shards != 0:
+        raise ValueError(
+            f"corpus size {n} must divide evenly over '{data_axis}' "
+            f"({n_shards} shards); pad the codes (scores of rows past the "
+            f"true corpus can be masked by id)"
+        )
+    if top_k > n // n_shards:
+        raise ValueError(
+            f"top_k={top_k} exceeds the per-shard corpus {n // n_shards}"
+        )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # The same guards search() applies, evaluated at the per-shard scale:
+    # auto-streaming once the local (nq, n/n_shards) score matrix would
+    # exceed the dense budget, and the fused kernel's VMEM-derived query
+    # batching (queries are independent, so the batching happens out here
+    # and each batch runs the whole sharded program).
+    stream_chunk = _resolve_stream_chunk(
+        queries.shape[0], n // n_shards, stream_chunk, method,
+        pq.reconstructed_len,
+    )
+    codes = jax.device_put(codes, NamedSharding(mesh, P(data_axis, None)))
+    run = _search_sharded_fn(
+        mesh, data_axis, top_k, chunk_size, method, splits, packed, metric,
+        stream_chunk,
+    )
+    if method == "kernel":
+        from .ops.adc import max_query_batch
+
+        qb = max_query_batch(pq.n_subquantizers, pq.n_quantizer_centroids, splits)
+        if queries.shape[0] > qb:
+            parts = [
+                run(pq, queries[i : i + qb], codes)
+                for i in range(0, queries.shape[0], qb)
+            ]
+            return (
+                jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]),
+            )
+    return run(pq, queries, codes)
+
+
+@functools.lru_cache(maxsize=None)
+def _search_sharded_fn(mesh, data_axis: str, top_k: int, chunk_size: int,
+                       method: str, splits, packed: bool, metric: str,
+                       stream_chunk):
+    """Build (and cache) the jitted sharded exhaustive search for a
+    mesh/config — a fresh closure per call would re-trace every time."""
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(pq, q, codes_local):
+        n_local = codes_local.shape[0]
+        if stream_chunk is not None:
+            d_loc, i_loc = _search_streamed_jit(
+                pq, q, codes_local, top_k, stream_chunk, chunk_size,
+                method, splits, packed, metric,
+            )
+        else:
+            d_loc, i_loc = _search_jit(
+                pq, q, codes_local, top_k, chunk_size, method, splits,
+                packed, metric,
+            )
+        # Local row offsets -> global corpus rows.
+        shard = jax.lax.axis_index(data_axis)
+        i_loc = i_loc + shard * n_local
+        d_all = jax.lax.all_gather(d_loc, data_axis)  # (ndev, nq, top_k)
+        i_all = jax.lax.all_gather(i_loc, data_axis)
+        nq = q.shape[0]
+        d_flat = jnp.moveaxis(d_all, 0, 1).reshape(nq, -1)
+        i_flat = jnp.moveaxis(i_all, 0, 1).reshape(nq, -1)
+        neg, sel = jax.lax.top_k(-d_flat, top_k)
+        return -neg, jnp.take_along_axis(i_flat, sel, axis=1)
+
+    return run

@@ -96,3 +96,63 @@ def test_adc_and_packed_agree(n, m, k, ds):
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(got_p), np.asarray(got),
                                    rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_ivf_add_remove_sequences(seed):
+    """Random interleavings of ivf_remove/ivf_add must preserve the index
+    invariants (unique live ids, one slot each) and end search-equivalent
+    to a fresh build over the surviving rows with the same quantizers."""
+    from reductive_tpu.ivf import (
+        build_ivf, ivf_add, ivf_remove, ivf_search, train_ivf_pq,
+    )
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(100 + seed)
+    d, n0 = 12, 160
+    x_all = jax.random.normal(key, (400, d), dtype=jnp.float32)
+    coarse, pq = train_ivf_pq(key, x_all[:n0], 6, 3, 3, use_kernel=False,
+                              train_sample=None)
+    # Headroom so adds never exhaust capacity mid-fuzz.
+    index = build_ivf(coarse, pq, x_all[:n0], capacity=100,
+                      use_kernel=False)
+    live = dict(enumerate(range(n0)))  # id -> row of x_all
+    next_id, next_row = n0, n0
+    for _ in range(6):
+        if rng.random() < 0.5 and len(live) > 10:
+            victims = rng.choice(list(live), size=rng.integers(1, 8),
+                                 replace=False)
+            index = ivf_remove(index, victims)
+            for v in victims:
+                live.pop(int(v))
+        else:
+            b = int(rng.integers(1, 10))
+            rows = list(range(next_row, next_row + b))
+            ids = np.arange(next_id, next_id + b)
+            index = ivf_add(index, x_all[rows[0]:rows[-1] + 1], ids=ids,
+                            use_kernel=False)
+            for i, r in zip(ids, rows):
+                live[int(i)] = r
+            next_id += b
+            next_row += b
+
+    ci = np.asarray(index.cell_ids)
+    flat = ci[ci >= 0]
+    assert len(flat) == len(live)
+    assert set(flat.tolist()) == set(live)
+
+    # Search equivalence to a fresh build: same quantizers, surviving
+    # rows, ids mapped back through the fuzz's id -> row table.
+    ids_sorted = sorted(live)
+    x_live = x_all[np.asarray([live[i] for i in ids_sorted])]
+    rebuilt = build_ivf(coarse, pq, x_live, capacity=100, use_kernel=False)
+    q = x_all[:7]
+    d_a, i_a = ivf_search(index, q, top_k=5, nprobe=6, use_kernel=False)
+    d_r, i_r = ivf_search(rebuilt, q, top_k=5, nprobe=6, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_r),
+                               rtol=1e-4, atol=1e-4)
+    # Ids map: rebuilt index numbers rows 0..len-1 in ids_sorted order.
+    mapped = np.asarray(ids_sorted, dtype=np.int64)[np.asarray(i_r)]
+    # Equal-distance ties can permute; compare per-query as sets.
+    for qi in range(q.shape[0]):
+        assert set(np.asarray(i_a)[qi].tolist()) == set(mapped[qi].tolist())

@@ -88,3 +88,33 @@ def test_ivf_roundtrip_preserves_dropped_ids(tmp_path):
     # Search still works on the reloaded index.
     _, ids = ivf_search(back, x[:2], top_k=5, nprobe=2, use_kernel=False)
     assert np.asarray(ids).shape == (2, 5)
+
+
+def test_ivf_roundtrip_after_add_remove(tmp_path):
+    # A mutated index (adds into freed holes) persists and reloads with
+    # identical search behavior.
+    import numpy as np
+
+    from reductive_tpu.ivf import (
+        build_ivf, ivf_add, ivf_remove, ivf_search, train_ivf_pq,
+    )
+
+    key = jax.random.PRNGKey(50)
+    x = jax.random.normal(key, (200, 8), dtype=jnp.float32)
+    coarse, rpq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                               train_sample=None)
+    index = build_ivf(coarse, rpq, x, use_kernel=False)
+    index = ivf_remove(index, np.arange(0, 200, 5))
+    index = ivf_add(index, x[:30] + 0.5, use_kernel=False)
+
+    path = tmp_path / "ivf.npz"
+    rio.save(str(path), index)
+    loaded = rio.load(str(path))
+    np.testing.assert_array_equal(
+        np.asarray(loaded.cell_ids), np.asarray(index.cell_ids)
+    )
+    q = x[:5]
+    d0, i0 = ivf_search(index, q, top_k=3, nprobe=4, use_kernel=False)
+    d1, i1 = ivf_search(loaded, q, top_k=3, nprobe=4, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)

@@ -461,3 +461,239 @@ def test_ivf_refine_from_reader(tmp_path):
     np.testing.assert_array_equal(np.asarray(i_dk), np.asarray(i_mem))
     # Exact refine of a query that IS a corpus row returns distance ~0.
     assert float(np.asarray(d_dk)[0, 0]) < 1e-6
+
+
+@pytest.mark.parametrize("projection", [False, True])
+def test_dot_metric_tables_match_bruteforce_ip(projection):
+    # metric="dot" tables sum to the exact negated inner product with the
+    # reconstruction (projections preserve inner products).
+    key = jax.random.PRNGKey(11)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, projection=projection)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (150, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (5, d), dtype=jnp.float32)
+
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    scores = adc_scores(adc_tables(pq, queries, metric="dot"), codes)
+    rec = pq.reconstruct_batch(codes)
+    expected = -jnp.einsum("qd,nd->qn", queries, rec, precision="highest")
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(expected),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("method", ["einsum", "decode"])
+def test_search_dot_metric_topk(method):
+    # Every scoring method ranks by descending inner product under
+    # metric="dot" and agrees with the brute-force MIPS answer.
+    key = jax.random.PRNGKey(12)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (400, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (6, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    rec = pq.reconstruct_batch(codes)
+    ip = jnp.einsum("qd,nd->qn", queries, rec, precision="highest")
+    exp_idx = np.asarray(jax.lax.top_k(ip, 10)[1])
+
+    dist, idx = search(pq, queries, codes, top_k=10, method=method,
+                       splits=2, metric="dot")
+    # Scores ascend (negated IP) and the sets agree (ties can permute).
+    assert np.all(np.diff(np.asarray(dist), axis=1) >= -1e-5)
+    for q in range(queries.shape[0]):
+        got, want = set(np.asarray(idx)[q].tolist()), set(exp_idx[q].tolist())
+        assert len(got & want) >= 9, (q, got, want)
+
+
+def test_adc_kernel_dot_metric_interpret():
+    # The fused kernel consumes dot-metric tables unchanged (bf16 splits
+    # and the int8 affine LUT both handle negative table entries).
+    from reductive_tpu.ops.adc import adc_scores_kernel
+
+    key = jax.random.PRNGKey(18)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (300, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (5, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    tables = adc_tables(pq, queries, metric="dot")
+    ref = adc_scores(tables, codes)
+    got = adc_scores_kernel(tables, codes, splits=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    got8 = adc_scores_kernel(tables, codes, splits="int8", interpret=True)
+    # int8 LUT ranking survives: top-10 overlap vs exact tables.
+    for q in range(queries.shape[0]):
+        want = set(np.asarray(jax.lax.top_k(-ref, 10)[1])[q].tolist())
+        have = set(np.asarray(jax.lax.top_k(-got8, 10)[1])[q].tolist())
+        assert len(want & have) >= 8, (q, want, have)
+
+
+def test_search_dot_metric_refine_exact_mips():
+    # refine_with re-ranks by the TRUE inner product against the original
+    # vectors; the returned scores are exact negated IPs.
+    key = jax.random.PRNGKey(13)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (300, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (4, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    dist, idx = search(pq, queries, codes, top_k=5, metric="dot",
+                       refine_with=db, refine_factor=8)
+    true_ip = jnp.einsum("qd,nd->qn", queries, db, precision="highest")
+    got_ip = np.take_along_axis(np.asarray(true_ip), np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(dist), -got_ip, rtol=1e-5, atol=1e-5)
+    # Candidate-set-limited MIPS: the refined top-1 must be the best of
+    # the refine pool, and with factor 8 on smooth data it should nearly
+    # always be the global argmax.
+    exact_top1 = np.asarray(jnp.argmax(true_ip, axis=1))
+    assert np.mean(np.asarray(idx)[:, 0] == exact_top1) >= 0.75
+
+
+def test_search_dot_metric_streamed_matches_dense():
+    key = jax.random.PRNGKey(14)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (1000, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (3, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    d0, i0 = search(pq, queries, codes, top_k=7, metric="dot")
+    d1, i1 = search(pq, queries, codes, top_k=7, metric="dot",
+                    stream_chunk=256)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_cosine_via_normalization():
+    # The documented cosine recipe: normalize corpus before encoding and
+    # queries before searching; dot == cosine on the unit sphere.
+    key = jax.random.PRNGKey(16)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq_key = jax.random.PRNGKey(17)
+    d = 32
+    db = jax.random.normal(kx, (500, d), dtype=jnp.float32)
+    db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
+    queries = jax.random.normal(kq, (4, d), dtype=jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+
+    pq = train_pq(pq_key, db, 8, 4, 8, 1)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    _, idx = search(pq, queries, codes, top_k=5, metric="dot",
+                    refine_with=db, refine_factor=8)
+    cos = jnp.einsum("qd,nd->qn", queries, db, precision="highest")
+    exact_top1 = np.asarray(jnp.argmax(cos, axis=1))
+    assert np.mean(np.asarray(idx)[:, 0] == exact_top1) >= 0.75
+
+
+def test_search_metric_validation():
+    pq = make_pq(jax.random.PRNGKey(0))
+    codes = jnp.zeros((10, 4), jnp.uint8)
+    q = jnp.zeros((1, pq.reconstructed_len), jnp.float32)
+    with pytest.raises(ValueError, match="unknown metric"):
+        search(pq, q, codes, top_k=1, metric="l1")
+    with pytest.raises(ValueError, match="unknown metric"):
+        adc_tables(pq, q, metric="cosine")
+
+
+@pytest.mark.parametrize("metric", ["l2", "dot"])
+def test_search_sharded_matches_single_device(metric):
+    # Corpus-sharded exhaustive search returns exactly the single-device
+    # scores (global top-k is contained in the union of shard top-ks).
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.search import search_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    key = jax.random.PRNGKey(31)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (800, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (5, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    d_sh, i_sh = search_sharded(pq, queries, codes, top_k=7, mesh=mesh,
+                                metric=metric)
+    d_1, i_1 = search(pq, queries, codes, top_k=7, metric=metric)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1),
+                               rtol=1e-5, atol=1e-5)
+    # Ties may permute ids between equal scores; compare as sets.
+    for q in range(queries.shape[0]):
+        assert set(np.asarray(i_sh)[q].tolist()) == set(
+            np.asarray(i_1)[q].tolist()
+        )
+
+
+def test_search_sharded_validation():
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.search import search_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    pq = make_pq(jax.random.PRNGKey(0))
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    q = jnp.zeros((1, pq.reconstructed_len), jnp.float32)
+    with pytest.raises(ValueError, match="divide evenly"):
+        search_sharded(pq, q, jnp.zeros((10, 4), jnp.uint8), top_k=1,
+                       mesh=mesh)
+    with pytest.raises(ValueError, match="per-shard corpus"):
+        search_sharded(pq, q, jnp.zeros((8, 4), jnp.uint8), top_k=3,
+                       mesh=mesh)
+
+
+def test_search_wide_codebook_u16_codes():
+    # k > 256 forces uint16 codes; the einsum scorer, streamed scorer,
+    # and refine must all handle them.
+    key = jax.random.PRNGKey(51)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=2, k=300, ds=4)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (500, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (3, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint16)
+    assert int(np.asarray(codes).max()) > 255
+
+    d0, i0 = search(pq, queries, codes, top_k=5)
+    d1, i1 = search(pq, queries, codes, top_k=5, stream_chunk=128)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    rec = pq.reconstruct_batch(codes)
+    exact = jnp.sum((queries[:, None, :] - rec[None, :, :]) ** 2, axis=2)
+    np.testing.assert_array_equal(
+        np.asarray(i0), np.asarray(jax.lax.top_k(-exact, 5)[1])
+    )
+    dr, ir = search(pq, queries, codes, top_k=5, refine_with=db)
+    assert np.isfinite(np.asarray(dr)).all()
+
+
+def test_search_sharded_auto_streams(monkeypatch):
+    # The per-shard auto-streaming guard: with a tiny dense budget the
+    # sharded path must switch to the streamed scorer and stay exact.
+    from reductive_tpu import search as search_mod
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.search import search_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    monkeypatch.setattr(search_mod, "_STREAM_SCORE_ELEMS", 64)
+    monkeypatch.setattr(search_mod, "_DEFAULT_STREAM_CHUNK", 64)
+    key = jax.random.PRNGKey(52)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    db = jax.random.normal(kx, (800, pq.reconstructed_len), jnp.float32)
+    queries = jax.random.normal(kq, (3, pq.reconstructed_len), jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    d_sh, i_sh = search_sharded(pq, queries, codes, top_k=5, mesh=mesh)
+    d_1, _ = search(pq, queries, codes, top_k=5, stream_chunk=None)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1),
+                               rtol=1e-5, atol=1e-5)
