@@ -86,3 +86,21 @@ def test_pipeline_opq_smoke(capsys, monkeypatch):
     for line in out.splitlines():
         if "recall@10 of the planted nearest neighbor:" in line:
             assert float(line.rsplit(" ", 1)[1]) >= 0.75, line
+
+
+def test_serving_example_smoke(capsys, monkeypatch):
+    # Serving lifecycle: L2 + MIPS over one index, live updates, sharded
+    # exhaustive scan.
+    root = Path(__file__).resolve().parent.parent
+    monkeypatch.setattr(sys, "argv", [
+        "serving.py", "--n", "8000", "--d", "32", "--m", "8",
+        "--bits", "4", "--cells", "32", "--queries", "8",
+    ])
+    runpy.run_path(str(root / "examples" / "serving.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "MIPS IVF+refine" in out and "sharded exhaustive scan" in out
+    for marker in ("top-1 self-hit", "new rows retrievable",
+                   "agreement with single-device"):
+        line = next(l for l in out.splitlines() if marker in l)
+        val = float(line.split(marker)[1].strip(" :").rstrip(")").split()[0])
+        assert val >= 0.9, line
