@@ -100,6 +100,7 @@ def train_ivf_pq(
     chunk: int = 32768,
     use_kernel: Optional[bool] = None,
     residual_quantizer: str = "pq",
+    coarse_metric: str = "l2",
 ) -> Tuple[Array, Pq]:
     """Train the two quantization stages: coarse k-means centroids and a
     PQ over the **residuals** ``x - centroid[assign(x)]``.
@@ -118,6 +119,13 @@ def train_ivf_pq(
     Gaussian, so the cheap closed-form variant fits); the returned model
     carries the projection and both :func:`build_ivf` and
     :func:`ivf_search` honor it transparently.
+
+    ``coarse_metric="spherical"`` trains **spherical k-means** for the
+    coarse stage (centroids re-normalized to the unit sphere after every
+    Lloyd's update) — the standard coarse quantizer for cosine-regime
+    corpora: cells become directional cones, which is what
+    ``ivf_search(metric="dot")`` probes by.  Use with an L2-normalized
+    corpus; the default ``"l2"`` is the plain Euclidean trainer.
     """
     from .kmeans import (
         KMeansPlusPlusCentroids,
@@ -152,11 +160,33 @@ def train_ivf_pq(
     # centroids (coupon-collector), which skews cell sizes — and the
     # dense-cell capacity (hence probe cost) scales with the LARGEST
     # cell.  D^2-weighted seeding keeps max/mean cell size small.
+    if coarse_metric not in ("l2", "spherical"):
+        raise ValueError(
+            f"unknown coarse_metric {coarse_metric!r} "
+            '(use "l2" or "spherical")'
+        )
     init = KMeansPlusPlusCentroids()(kc, x_train, n_cells)
-    coarse, _ = kmeans_with_centroids_chunked(
-        x_train, init, coarse_iterations,
-        chunk=chunk, use_kernel=use_kernel,
-    )
+    if coarse_metric == "spherical":
+        # Spherical k-means: one Lloyd's update, then project centroids
+        # back to the unit sphere (Dhillon & Modha, 2001).  Assignment by
+        # nearest-L2 on unit vectors == assignment by largest cosine, so
+        # the standard iteration machinery applies unchanged between
+        # normalizations.  Empty clusters (zero vectors) stay zero.
+        coarse = init / jnp.maximum(
+            jnp.linalg.norm(init, axis=1, keepdims=True), 1e-30
+        )
+        for _ in range(coarse_iterations):
+            coarse, _ = kmeans_with_centroids_chunked(
+                x_train, coarse, 1, chunk=chunk, use_kernel=use_kernel,
+            )
+            norm = jnp.linalg.norm(coarse, axis=1, keepdims=True)
+            coarse = jnp.where(norm > 0, coarse / jnp.maximum(norm, 1e-30),
+                               coarse)
+    else:
+        coarse, _ = kmeans_with_centroids_chunked(
+            x_train, init, coarse_iterations,
+            chunk=chunk, use_kernel=use_kernel,
+        )
 
     residuals = x_train - jnp.take(
         coarse, _assign_coarse(coarse, x_train, use_kernel), axis=0

@@ -668,3 +668,33 @@ def test_ivf_add_preserves_dropped_ids_record():
             .ravel().tolist()))[:20]))
     idx3 = ivf_add(idx2, x[:5] + 3.0, use_kernel=False)
     assert before <= set(idx3.dropped_ids.tolist())
+
+
+def test_spherical_coarse_training():
+    # Spherical k-means coarse stage: unit-norm centroids, sensible
+    # IVF-IP behavior on a normalized corpus.
+    key = jax.random.PRNGKey(51)
+    x = clustered_data(key, n_clusters=16, per=60, d=16)
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    coarse, pq = train_ivf_pq(key, x, 16, 4, 4, use_kernel=False,
+                              train_sample=None,
+                              coarse_metric="spherical")
+    norms = np.asarray(jnp.linalg.norm(coarse, axis=1))
+    live = norms > 0  # empty clusters stay zero
+    assert live.sum() >= 12
+    np.testing.assert_allclose(norms[live], 1.0, rtol=1e-5)
+
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    planted = np.arange(0, x.shape[0], 60)
+    q = x[planted]
+    # Generous refine pool: merged cells hold ~120 near-identical rows
+    # whose approximate IPs tie, so the shortlist must be deep enough for
+    # the exact re-scoring to surface the row itself.
+    _, ids = ivf_search(index, q, top_k=5, nprobe=8, metric="dot",
+                        refine_with=x, refine_factor=24)
+    # The query IS a corpus row: exact refine must put it first.
+    assert (np.asarray(ids)[:, 0] == planted).mean() >= 0.9
+
+    with pytest.raises(ValueError, match="coarse_metric"):
+        train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                     train_sample=None, coarse_metric="cosine")
