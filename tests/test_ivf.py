@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from reductive_tpu import Pq, train_pq
+from reductive_tpu import train_pq
 from reductive_tpu.ivf import IvfPq, build_ivf, ivf_search, train_ivf_pq
 
 
