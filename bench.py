@@ -8,74 +8,88 @@ on a 16-chip v5e-16; encode is embarrassingly parallel across chips
 per-chip share of that target is 6.25M vec/s.  ``vs_baseline`` reports the
 multiple of that per-chip share.
 
-Fail-open artifact contract: a parseable JSON result line is printed as
-soon as the FAST measurement (1M rows, ~seconds of device time) finishes;
-the large-batch measurement (8M rows — amortizes the ~2-3 ms per-dispatch
-overhead of a tunneled host link and shows the true ~144M vec/s kernel
-rate) then prints an upgraded line of the same shape only if wall-clock
-budget remains.  A driver timeout or any error in the upgrade leaves the
-fast line as the recorded artifact instead of recording nothing (the
-round-2 failure mode: one 8M-only run straddled the driver budget and the
-official artifact held no number at all).
+Outage-proof artifact contract (the round-3 failure mode was a dead TPU
+backend killing the script before any JSON was printed):
+
+* The process that the driver invokes is a thin SUPERVISOR that never
+  imports jax itself.  It runs the measurement in a child subprocess so a
+  failed/cached-failed backend init can be retried from a clean slate.
+* TPU attempts are retried with backoff across the capture window (tunnel
+  outages are often transient).  If the chip stays down, the supervisor
+  falls back to a CPU measurement (clearly labeled ``"backend": "cpu"``,
+  ``"tpu_unavailable": true``), and if even that fails it emits a
+  parseable zero-value line.  The supervisor ALWAYS exits 0.
+* Within the child, a fast measurement (4M rows, ~seconds of device time)
+  is emitted first; an 8M-row upgrade line (amortizes ~2-3 ms/dispatch of
+  tunnel overhead and shows the true ~145M vec/s kernel rate) follows only
+  if wall-clock budget remains.  Any line the child prints before dying is
+  still captured and forwarded — partial success counts.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
+FAST_ROWS_TPU = 4_000_000
+UPGRADE_ROWS_TPU = 8_000_000
+PER_CHIP_TARGET = 100e6 / 16  # v5e-16 north star, per chip
 
 
-def _sync(x) -> float:
-    """Force completion with a host fetch (block_until_ready alone does not
-    synchronize through the axon remote tunnel)."""
-    return float(jnp.sum(x.astype(jnp.float32)))
+# --------------------------------------------------------------------------
+# Child: the actual measurement (imports jax; may die on backend failure).
+# --------------------------------------------------------------------------
 
 
-def _emit(vec_per_sec: float, batch_rows: int) -> None:
-    per_chip_target = 100e6 / 16  # v5e-16 north star, per chip
-    print(
-        json.dumps(
-            {
-                "metric": "pq_encode_throughput_d128_m16_k256_per_chip",
-                "value": round(vec_per_sec, 1),
-                "unit": "vectors/sec/chip",
-                # Multiple of the north star's PER-CHIP SHARE (100M / 16
-                # chips): encode is zero-collective, so the linear-scaling
-                # assumption behind the division is stated, not hidden.
-                "vs_baseline": round(vec_per_sec / per_chip_target, 3),
-                "baseline_note": "v5e-16 target / 16 chips; encode is "
-                "embarrassingly parallel (zero collectives)",
-                "batch_rows": batch_rows,
-            }
-        ),
-        flush=True,
-    )
+def _emit(vec_per_sec: float, batch_rows: int, backend: str) -> None:
+    rec = {
+        "metric": "pq_encode_throughput_d128_m16_k256_per_chip",
+        "value": round(vec_per_sec, 1),
+        "unit": "vectors/sec/chip",
+        # Multiple of the north star's PER-CHIP SHARE (100M / 16 chips):
+        # encode is zero-collective, so the linear-scaling assumption
+        # behind the division is stated, not hidden.
+        "vs_baseline": round(vec_per_sec / PER_CHIP_TARGET, 3),
+        "baseline_note": "v5e-16 target / 16 chips; encode is "
+        "embarrassingly parallel (zero collectives)",
+        "batch_rows": batch_rows,
+        "backend": backend,
+    }
+    if backend == "cpu":
+        rec["tpu_unavailable"] = True
+    print(json.dumps(rec), flush=True)
 
 
-def _measure(fn, codebooks, n: int, d: int, iters: int, seed: int) -> float:
-    """Compile, warm, and time ``iters`` encode dispatches of ``n`` rows."""
-    x = jax.random.normal(jax.random.PRNGKey(seed), (n, d), dtype=jnp.float32)
-    out = fn(codebooks, x)
-    _sync(out)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(codebooks, x)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    return n / dt
+def _child(force_cpu: bool) -> None:
+    import jax
+    import jax.numpy as jnp
 
-
-def main() -> None:
-    t_start = time.perf_counter()
     from reductive_tpu.ops import pq_encode
     from reductive_tpu.pq import primitives
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    def _sync(x) -> float:
+        # Force completion with a host fetch (block_until_ready alone does
+        # not synchronize through the axon remote tunnel).
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    def _measure(fn, codebooks, n: int, d: int, iters: int, seed: int) -> float:
+        x = jax.random.normal(jax.random.PRNGKey(seed), (n, d), dtype=jnp.float32)
+        out = fn(codebooks, x)
+        _sync(out)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(codebooks, x)
+        _sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        return n / dt
+
+    t_start = time.perf_counter()
+    on_tpu = (not force_cpu) and jax.devices()[0].platform != "cpu"
+    backend = "tpu" if on_tpu else "cpu"
     m, k, ds = 16, 256, 8
     d = m * ds
 
@@ -88,31 +102,116 @@ def main() -> None:
         jax.random.PRNGKey(1), (m, k, ds), dtype=jnp.float32
     )
 
-    # Fast measurement first: 4M rows is ~30 ms of device time per dispatch,
-    # so this line lands within seconds of the (one-off) kernel compile while
-    # amortizing enough of the ~2-3 ms per-dispatch overhead to clear
-    # 100M vec/s even on a slow-tunnel run (wall time is dominated by the
-    # compile and occasional multi-minute tunnel stalls, not by n).
-    n_fast = 4_000_000 if on_tpu else 20_000
+    # Fast measurement first: lands within seconds of the (one-off) kernel
+    # compile while amortizing enough per-dispatch overhead to clear
+    # 100M vec/s even on a slow-tunnel run.
+    n_fast = FAST_ROWS_TPU if on_tpu else 20_000
     rate = _measure(fn, codebooks, n_fast, d, iters=3 if on_tpu else 2, seed=2)
-    _emit(rate, n_fast)
+    _emit(rate, n_fast, backend)
 
     if not on_tpu:
         return
 
     # Upgrade: 8M rows amortizes fixed per-dispatch overhead (~2-3 ms via
-    # the tunnel) and shows the true kernel rate (~144M vs ~100M vec/s).
+    # the tunnel) and shows the true kernel rate (~145M vs ~100M vec/s).
     # Attempted only while wall budget remains; any failure is swallowed —
     # the fast line above already satisfies the artifact contract.
     budget = float(os.environ.get("REDUCTIVE_BENCH_BUDGET", "140"))
-    elapsed = time.perf_counter() - t_start
-    if elapsed > budget:
+    if time.perf_counter() - t_start > budget:
         return
     try:
-        rate8 = _measure(fn, codebooks, 8_000_000, d, iters=2, seed=3)
-        _emit(max(rate, rate8), 8_000_000)
+        rate8 = _measure(fn, codebooks, UPGRADE_ROWS_TPU, d, iters=2, seed=3)
+        _emit(max(rate, rate8), UPGRADE_ROWS_TPU, backend)
     except Exception as e:  # OOM / tunnel hiccup: keep the fast artifact
         print(f"8M-row upgrade skipped: {e!r}", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
+# Supervisor: retries the child, falls back to CPU, always exits 0.
+# --------------------------------------------------------------------------
+
+
+def _run_child(extra_args: list[str], env: dict, timeout: float) -> bool:
+    """Run one measurement child; stream its stdout through; return whether
+    it printed at least one JSON artifact line (even if it later died)."""
+    got_json = threading.Event()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure", *extra_args],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        env=env,
+    )
+
+    def _reader() -> None:
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            s = line.strip()
+            if s.startswith("{") and '"metric"' in s:
+                try:
+                    json.loads(s)
+                except ValueError:
+                    continue
+                got_json.set()
+
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
+    try:
+        proc.wait(timeout=max(timeout, 10.0))
+    except subprocess.TimeoutExpired:
+        proc.kill()  # exact PID we started — never kill by pattern
+        proc.wait()
+    reader.join(5.0)
+    return got_json.is_set()
+
+
+def main() -> None:
+    if "--measure" in sys.argv:
+        _child(force_cpu="--cpu" in sys.argv)
+        return
+
+    t0 = time.perf_counter()
+    total_budget = float(os.environ.get("REDUCTIVE_BENCH_TOTAL", "540"))
+
+    def remaining() -> float:
+        return total_budget - (time.perf_counter() - t0)
+
+    # TPU attempts with backoff across the capture window.  Each attempt is
+    # a fresh process, so a cached failed-backend-init cannot poison later
+    # retries (transient tunnel outages recover within tens of seconds).
+    for delay in (0.0, 20.0, 45.0):
+        if remaining() < delay + 60.0:
+            break
+        if delay:
+            print(f"TPU attempt failed; retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+        if _run_child([], dict(os.environ), timeout=remaining()):
+            sys.exit(0)
+
+    # Persistent TPU failure: CPU fallback, clearly labeled.
+    print("TPU unavailable after retries; measuring CPU fallback", file=sys.stderr)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if _run_child(["--cpu"], env, timeout=max(remaining(), 300.0)):
+        sys.exit(0)
+
+    # Last resort: a parseable line no matter what.
+    print(
+        json.dumps(
+            {
+                "metric": "pq_encode_throughput_d128_m16_k256_per_chip",
+                "value": 0.0,
+                "unit": "vectors/sec/chip",
+                "vs_baseline": 0.0,
+                "tpu_unavailable": True,
+                "error": "all backends failed after retries",
+            }
+        ),
+        flush=True,
+    )
+    sys.exit(0)
 
 
 if __name__ == "__main__":
