@@ -368,6 +368,66 @@ def train_pq_conformant(
     return Pq(codebooks=codebooks, projection=None)
 
 
+def _create_projection_matrix_exact(x: np.ndarray, n_subquantizers: int):
+    """Host-LAPACK initial OPQ projection for conformance mode
+    (``src/pq/opq.rs:103-136``): numpy covariance (same centering/division
+    order as ``src/linalg.rs:17-45``) and ``np.linalg.eigh`` — the same
+    LAPACK ``syevd`` the reference binds.  The device path's
+    ``jnp.linalg.eigh`` differs from LAPACK at ~1e-4 in eigenvector
+    entries for clustered eigenvalues, which is enough to move the
+    initial centroids and break the 1e-5 objective gate before the
+    alternation even starts."""
+    from .pq.opq import bucket_eigenvalues
+
+    centered = x - x.mean(axis=0, dtype=x.dtype)
+    cov = centered.T @ (centered / x.dtype.type(x.shape[0] - 1))
+    eigenvalues, eigenvectors = np.linalg.eigh(cov)
+    buckets = bucket_eigenvalues(eigenvalues, n_subquantizers)
+    flat = [i for bucket in buckets for i in bucket]
+    return np.ascontiguousarray(eigenvectors[:, flat])
+
+
+def _opq_alternate_exact(x, projection, codebooks, n_iterations: int):
+    """Reference-arithmetic OPQ alternation for conformance mode.
+
+    The fast path (``pq/opq.py:_alternate``) computes the Procrustes
+    rotation with a Newton–Schulz polar iteration — equal to ``U V^T`` only
+    to float tolerance, which is enough to flip argmin near-ties and push
+    the objective ~1e-4 away from the reference on some seeds.  Here the
+    per-iteration k-means/quantize/cross-matrix steps stay on device
+    (matching the fast path exactly) while the rotation update runs the
+    same LAPACK SVD the reference calls (``src/pq/opq.rs:184-188``,
+    Ge et al., 2013, Eq. 7) via ``np.linalg.svd`` on the host, so the
+    near-tie flips vanish and every scenario meets the 1e-5 gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from .kmeans import kmeans_iteration
+    from .pq import primitives
+
+    n, d = x.shape
+    m, k, ds = codebooks.shape
+
+    @jax.jit
+    def step(x, projection, codebooks):
+        rx = jnp.dot(x, projection, precision="highest")
+        rxs = jnp.moveaxis(rx.reshape(n, m, ds), 1, 0)
+        codebooks, _ = jax.vmap(lambda xs, c: kmeans_iteration(xs, c))(
+            rxs, codebooks
+        )
+        codes = primitives.quantize_batch(codebooks, rx, dtype=jnp.int32)
+        reconstructed = primitives.reconstruct_batch(codebooks, codes)
+        M = jnp.dot(x.T, reconstructed, precision="highest")
+        return M, codebooks
+
+    for _ in range(int(n_iterations)):
+        M, codebooks = step(x, projection, codebooks)
+        M_host = np.asarray(M)
+        u, _, vt = np.linalg.svd(M_host)
+        projection = jnp.asarray((u @ vt).astype(M_host.dtype))
+    return projection, codebooks
+
+
 def train_opq_conformant(
     instances,
     n_subquantizers: int,
@@ -382,12 +442,14 @@ def train_opq_conformant(
     (``TrainPq for Opq``, ``src/pq/opq.rs:40-100``): the master RNG is used
     *directly* (no XorShift forks), one subquantizer after another
     (``src/pq/opq.rs:138-159``), on the **rotated** data.  ``n_attempts`` is
-    ignored exactly as in the reference."""
+    ignored exactly as in the reference.  The alternation runs with the
+    reference's exact LAPACK-SVD Procrustes update (see
+    :func:`_opq_alternate_exact`); the Newton–Schulz fast path stays on
+    :func:`reductive_tpu.pq.opq.train_opq`."""
     import jax.numpy as jnp
 
     from .errors import check_quantizer_invariants
     from .pq.model import Pq
-    from .pq.opq import _alternate, create_projection_matrix
 
     x = np.asarray(instances)
     n, d = x.shape
@@ -401,15 +463,17 @@ def train_opq_conformant(
     k = 2 ** n_subquantizer_bits
     ds = d // n_subquantizers
 
-    projection = create_projection_matrix(jnp.asarray(x), n_subquantizers)
-    rx = np.asarray(jnp.dot(jnp.asarray(x), projection, precision="highest"))
+    projection = jnp.asarray(
+        _create_projection_matrix_exact(x, n_subquantizers).astype(x.dtype)
+    )
+    rx = x @ np.asarray(projection)
     rxs = rx.reshape(n, n_subquantizers, ds)
     initial = np.empty((n_subquantizers, k, ds), dtype=x.dtype)
     for sq in range(n_subquantizers):
         idx = distinct_indices(master, n, k)
         initial[sq] = rxs[idx, sq, :]
 
-    projection, codebooks = _alternate(
+    projection, codebooks = _opq_alternate_exact(
         jnp.asarray(x), projection, jnp.asarray(initial), n_iterations
     )
     return Pq(codebooks=codebooks, projection=projection)
@@ -430,11 +494,11 @@ def train_gaussian_opq_conformant(
     conformant PQ training on the rotated data with the same master."""
     import jax.numpy as jnp
 
-    from .pq.opq import create_projection_matrix
-
     x = np.asarray(instances)
-    projection = create_projection_matrix(jnp.asarray(x), n_subquantizers)
-    rx = np.asarray(jnp.dot(jnp.asarray(x), projection, precision="highest"))
+    projection = jnp.asarray(
+        _create_projection_matrix_exact(x, n_subquantizers).astype(x.dtype)
+    )
+    rx = x @ np.asarray(projection)
     pq = train_pq_conformant(
         rx,
         n_subquantizers,
