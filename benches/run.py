@@ -793,12 +793,29 @@ def bench_config9_mips(quick):
     record("config9_mips_exhaustive_dot_refine4", dt,
            extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
 
+    def candidate_recall(idx_obj, nprobe):
+        """Fraction of true top-10 ids whose cell is among the probed
+        cells — isolates the coarse quantizer's contribution from the PQ
+        resolution bottleneck (probing follows ivf.py's metric="dot"
+        rule: top-nprobe by query-centroid inner product)."""
+        qc = jnp.dot(queries, idx_obj.coarse_centroids.T,
+                     precision="highest")
+        _, probe = jax.lax.top_k(qc, nprobe)
+        ids_g = np.asarray(
+            jnp.take(idx_obj.cell_ids, probe, axis=0)
+        ).reshape(nq, -1)
+        return float(np.mean([
+            len(set(ids_g[q]) & set(true10[q])) / 10 for q in range(nq)
+        ]))
+
     for nprobe in (4, 16):
         fn = lambda: ivf_search(index, queries, top_k=10, nprobe=nprobe,
                                 use_kernel=on_tpu, metric="dot")[1]
         dt = timeit(lambda: fn(), iters=2 if quick else 5)
         record(f"config9_mips_ivf_nprobe{nprobe}", dt,
                extra={"recall10": round(recall(fn()), 3),
+                      "candidate_recall10":
+                          round(candidate_recall(index, nprobe), 3),
                       "scanned_fraction": round(nprobe / C, 4),
                       "bytes_per_vec": m})
 
@@ -808,6 +825,35 @@ def bench_config9_mips(quick):
     dt = timeit(lambda: fn(), iters=2 if quick else 5)
     record("config9_mips_ivf_nprobe16_refine4", dt,
            extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m})
+
+    # Spherical-vs-L2 coarse A/B: same corpus, same PQ budget, coarse
+    # k-means trained with coarse_metric="spherical" (unit-norm centroids,
+    # dot-product assignment — ivf.py) instead of the default L2.  The
+    # rows pair with the L2 ones above so the recall delta that motivated
+    # the spherical option is an actual measurement, not a claim.
+    coarse_s, rpq_s = train_ivf_pq(
+        jax.random.PRNGKey(34), x, C, m, bits, use_kernel=on_tpu,
+        coarse_iterations=8, pq_iterations=8, coarse_metric="spherical",
+    )
+    index_s = build_ivf(coarse_s, rpq_s, x, capacity="auto", use_kernel=on_tpu)
+    for nprobe in (4, 16):
+        fn = lambda: ivf_search(index_s, queries, top_k=10, nprobe=nprobe,
+                                use_kernel=on_tpu, metric="dot")[1]
+        dt = timeit(lambda: fn(), iters=2 if quick else 5)
+        record(f"config9_mips_ivf_spherical_nprobe{nprobe}", dt,
+               extra={"recall10": round(recall(fn()), 3),
+                      "candidate_recall10":
+                          round(candidate_recall(index_s, nprobe), 3),
+                      "scanned_fraction": round(nprobe / C, 4),
+                      "bytes_per_vec": m, "coarse_metric": "spherical"})
+
+    fn = lambda: ivf_search(index_s, queries, top_k=10, nprobe=16,
+                            use_kernel=on_tpu, metric="dot",
+                            refine_with=x, refine_factor=4)[1]
+    dt = timeit(lambda: fn(), iters=2 if quick else 5)
+    record("config9_mips_ivf_spherical_nprobe16_refine4", dt,
+           extra={"recall10": round(recall(fn()), 3), "bytes_per_vec": m,
+                  "coarse_metric": "spherical"})
 
 
 def main():

@@ -777,6 +777,7 @@ def _probe_and_score(
     use_kernel: bool,
     splits,
     metric: str = "l2",
+    valid: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Score the top-``nprobe`` cells of the given coarse block for every
     query; returns flattened ``(scores, ids)`` of shape
@@ -788,7 +789,11 @@ def _probe_and_score(
     ``metric="dot"`` probes the cells with the **largest** query·centroid
     inner product and scores by the exact same IVFADC decomposition for
     inner products, ``<q, c + rec> = q.c + q.rec`` (scores are negated so
-    ascending order still means best-first); cell norms are unused."""
+    ascending order still means best-first); cell norms are unused.
+
+    ``valid`` (optional, ``(C,)`` bool) excludes cells from probe
+    selection — used by the sharded search to mask the all-empty cells
+    appended for even sharding so they never displace a real probe."""
     cb = pq.codebooks
     m, k, ds = cb.shape
     d = m * ds
@@ -799,12 +804,14 @@ def _probe_and_score(
     # selection and the q.c terms (for scoring).
     qc = jnp.dot(queries, coarse.T, precision="highest")      # (nq, C)
     if metric == "dot":
-        _, probe = jax.lax.top_k(qc, nprobe)                  # (nq, np)
+        score_c = qc
     else:
         q_sqn = jnp.sum(queries * queries, axis=1)            # (nq,)
         c_sqn = jnp.sum(coarse * coarse, axis=1)              # (C,)
-        coarse_d2 = q_sqn[:, None] + c_sqn[None, :] - 2.0 * qc
-        _, probe = jax.lax.top_k(-coarse_d2, nprobe)          # (nq, np)
+        score_c = -(q_sqn[:, None] + c_sqn[None, :] - 2.0 * qc)
+    if valid is not None:
+        score_c = jnp.where(valid[None, :], score_c, -jnp.inf)
+    _, probe = jax.lax.top_k(score_c, nprobe)                 # (nq, np)
     qc_g = jnp.take_along_axis(qc, probe, axis=1)             # (nq, np)
 
     # Gather the probed cells (contiguous row blocks — cheap).
@@ -983,9 +990,11 @@ def ivf_search_sharded(
     is at least that of
     :func:`ivf_search` with the same ``nprobe``, per-device work is one
     ``nprobe``-cell scan, and the only communication is the final
-    ``(nq, top_k)`` merge (tiny).  ``n_cells`` must divide the axis
-    size; ``cell_ids`` hold global corpus rows, so merged ids are
-    directly usable.
+    ``(nq, top_k)`` merge (tiny).  A cell count that does not divide the
+    axis size is padded with empty cells (ids ``-1``) up to the next
+    multiple; the pads are excluded from probe selection, so results
+    still equal single-device :func:`ivf_search`.  ``cell_ids`` hold
+    global corpus rows, so merged ids are directly usable.
     """
     if metric not in ("l2", "dot"):
         raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
@@ -995,11 +1004,25 @@ def ivf_search_sharded(
 
     C = index.n_cells
     n_shards = mesh.shape[cell_axis]
+    coarse_a, codes_a = index.coarse_centroids, index.cell_codes
+    ids_a, norms_a = index.cell_ids, index.cell_norms
+    C_true = None
     if C % n_shards != 0:
-        raise ValueError(
-            f"n_cells={C} must divide evenly over '{cell_axis}' "
-            f"({n_shards} shards)"
+        pad = n_shards - C % n_shards
+        coarse_a = jnp.concatenate(
+            [coarse_a, jnp.zeros((pad, coarse_a.shape[1]), coarse_a.dtype)]
         )
+        codes_a = jnp.concatenate(
+            [codes_a, jnp.zeros((pad,) + codes_a.shape[1:], codes_a.dtype)]
+        )
+        ids_a = jnp.concatenate(
+            [ids_a, jnp.full((pad, ids_a.shape[1]), -1, ids_a.dtype)]
+        )
+        norms_a = jnp.concatenate(
+            [norms_a, jnp.zeros((pad, norms_a.shape[1]), norms_a.dtype)]
+        )
+        C_true = C
+        C = C + pad
     if nprobe > C // n_shards:
         raise ValueError(
             f"nprobe={nprobe} exceeds the per-shard cell count "
@@ -1009,20 +1032,18 @@ def ivf_search_sharded(
     # device_put is a no-op for arrays already laid out with the target
     # sharding, so repeated calls on a resident index only move data the
     # first time; the compiled program is cached per (mesh, config).
-    coarse = jax.device_put(
-        index.coarse_centroids, NamedSharding(mesh, P(cell_axis, None))
-    )
-    codes = jax.device_put(
-        index.cell_codes, NamedSharding(mesh, P(cell_axis, None, None))
-    )
-    ids = jax.device_put(index.cell_ids, NamedSharding(mesh, P(cell_axis, None)))
-    norms = jax.device_put(
-        index.cell_norms, NamedSharding(mesh, P(cell_axis, None))
+    coarse = jax.device_put(coarse_a, NamedSharding(mesh, P(cell_axis, None)))
+    codes = jax.device_put(codes_a, NamedSharding(mesh, P(cell_axis, None, None)))
+    ids = jax.device_put(ids_a, NamedSharding(mesh, P(cell_axis, None)))
+    norms = jax.device_put(norms_a, NamedSharding(mesh, P(cell_axis, None)))
+    valid = jax.device_put(
+        jnp.arange(C, dtype=jnp.int32) < (C if C_true is None else C_true),
+        NamedSharding(mesh, P(cell_axis)),
     )
     run = _ivf_sharded_fn(
         mesh, cell_axis, nprobe, top_k, use_kernel, splits, metric
     )
-    return run(queries, coarse, codes, ids, norms, index.pq)
+    return run(queries, coarse, codes, ids, norms, valid, index.pq)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1038,15 +1059,15 @@ def _ivf_sharded_fn(mesh, cell_axis: str, nprobe: int, top_k: int,
         mesh=mesh,
         in_specs=(
             P(), P(cell_axis, None), P(cell_axis, None, None),
-            P(cell_axis, None), P(cell_axis, None), P(),
+            P(cell_axis, None), P(cell_axis, None), P(cell_axis), P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(q, coarse_l, codes_l, ids_l, norms_l, pq):
+    def run(q, coarse_l, codes_l, ids_l, norms_l, valid_l, pq):
         scores, cand_ids = _probe_and_score(
             q, coarse_l, codes_l, ids_l, norms_l, pq, nprobe, use_kernel,
-            splits, metric,
+            splits, metric, valid=valid_l,
         )
         d_loc, i_loc = _padded_topk(scores, cand_ids, top_k)
         # Merge: gather every device's local top-k and reselect.

@@ -486,9 +486,12 @@ def search_sharded(
     global top-``top_k`` is contained in the union of the per-shard
     top-``top_k``s — while each device scans only its ``n / n_shards``
     codes and the only communication is the final ``(nq, top_k)`` merge.
-    ``n`` must divide evenly over the axis.  All :func:`search` scoring
-    options (``method``/``splits``/``packed``/``metric``/
-    ``stream_chunk``) apply per shard.
+    A corpus that does not divide evenly over the axis is padded with
+    zero codes up to the next multiple; the padded rows are masked out of
+    the merge (score ``+inf``, id ``-1``), so results still equal
+    single-device :func:`search`.  All :func:`search` scoring options
+    (``method``/``splits``/``packed``/``metric``/``stream_chunk``) apply
+    per shard.
     """
     if top_k <= 0:
         raise ValueError("top_k must be >= 1")
@@ -498,13 +501,15 @@ def search_sharded(
         raise ValueError(f"unknown metric {metric!r} (expected 'l2' or 'dot')")
     n = codes.shape[0]
     n_shards = mesh.shape[data_axis]
+    n_true = None
     if n % n_shards != 0:
-        raise ValueError(
-            f"corpus size {n} must divide evenly over '{data_axis}' "
-            f"({n_shards} shards); pad the codes (scores of rows past the "
-            f"true corpus can be masked by id)"
+        pad = n_shards - n % n_shards
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((pad,) + codes.shape[1:], dtype=codes.dtype)]
         )
-    if top_k > n // n_shards:
+        n_true = n
+        n = codes.shape[0]
+    if top_k > n // n_shards or (n_true is not None and top_k > n_true):
         raise ValueError(
             f"top_k={top_k} exceeds the per-shard corpus {n // n_shards}"
         )
@@ -522,7 +527,7 @@ def search_sharded(
     codes = jax.device_put(codes, NamedSharding(mesh, P(data_axis, None)))
     run = _search_sharded_fn(
         mesh, data_axis, top_k, chunk_size, method, splits, packed, metric,
-        stream_chunk,
+        stream_chunk, n_true,
     )
     if method == "kernel":
         from .ops.adc import max_query_batch
@@ -543,7 +548,7 @@ def search_sharded(
 @functools.lru_cache(maxsize=None)
 def _search_sharded_fn(mesh, data_axis: str, top_k: int, chunk_size: int,
                        method: str, splits, packed: bool, metric: str,
-                       stream_chunk):
+                       stream_chunk, n_true=None):
     """Build (and cache) the jitted sharded exhaustive search for a
     mesh/config — a fresh closure per call would re-trace every time."""
     from jax.sharding import PartitionSpec as P
@@ -571,6 +576,13 @@ def _search_sharded_fn(mesh, data_axis: str, top_k: int, chunk_size: int,
         # Local row offsets -> global corpus rows.
         shard = jax.lax.axis_index(data_axis)
         i_loc = i_loc + shard * n_local
+        if n_true is not None:
+            # Rows past the true corpus are zero-padding added for even
+            # sharding: drop them from the merge (+inf never wins for
+            # either metric — dot scores are negated, ascending = best).
+            pad_row = i_loc >= n_true
+            d_loc = jnp.where(pad_row, jnp.inf, d_loc)
+            i_loc = jnp.where(pad_row, -1, i_loc)
         d_all = jax.lax.all_gather(d_loc, data_axis)  # (ndev, nq, top_k)
         i_all = jax.lax.all_gather(i_loc, data_axis)
         nq = q.shape[0]

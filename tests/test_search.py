@@ -642,12 +642,45 @@ def test_search_sharded_validation():
     pq = make_pq(jax.random.PRNGKey(0))
     mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
     q = jnp.zeros((1, pq.reconstructed_len), jnp.float32)
-    with pytest.raises(ValueError, match="divide evenly"):
-        search_sharded(pq, q, jnp.zeros((10, 4), jnp.uint8), top_k=1,
-                       mesh=mesh)
     with pytest.raises(ValueError, match="per-shard corpus"):
         search_sharded(pq, q, jnp.zeros((8, 4), jnp.uint8), top_k=3,
                        mesh=mesh)
+    # top_k bounded by the true (pre-padding) corpus, not the padded one.
+    with pytest.raises(ValueError, match="per-shard corpus"):
+        search_sharded(pq, q, jnp.zeros((2, 4), jnp.uint8), top_k=3,
+                       mesh=mesh)
+
+
+@pytest.mark.parametrize("metric", ["l2", "dot"])
+def test_search_sharded_pads_non_divisible_corpus(metric):
+    # A prime-sized corpus is padded to the next multiple of the axis and
+    # the padded rows masked out of the merge: results equal the
+    # single-device search exactly (VERDICT r3 weak #6).
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.search import search_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    key = jax.random.PRNGKey(41)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq, m=4, k=16, ds=8)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (797, d), dtype=jnp.float32)  # prime
+    queries = jax.random.normal(kq, (5, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db, dtype=jnp.uint8)
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    d_sh, i_sh = search_sharded(pq, queries, codes, top_k=7, mesh=mesh,
+                                metric=metric)
+    d_1, i_1 = search(pq, queries, codes, top_k=7, metric=metric)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(i_sh) >= 0)
+    assert np.all(np.asarray(i_sh) < 797)
+    for q in range(queries.shape[0]):
+        assert set(np.asarray(i_sh)[q].tolist()) == set(
+            np.asarray(i_1)[q].tolist()
+        )
 
 
 def test_search_wide_codebook_u16_codes():
