@@ -352,6 +352,24 @@ def _residual_encode_batch(
     return codes, norms
 
 
+def _scatter_updates_impl(cell_codes, cell_ids, cell_norms,
+                          cc, ss, codes, ids, norms):
+    """Scatter one add-batch into the resident cell tensors on device."""
+    return (
+        cell_codes.at[cc, ss].set(codes),
+        cell_ids.at[cc, ss].set(ids.astype(cell_ids.dtype)),
+        cell_norms.at[cc, ss].set(norms.astype(cell_norms.dtype)),
+    )
+
+
+# Copy-on-write variant (functional default: the input index stays valid)
+# and a donating variant (in-place buffer reuse for high-rate streaming
+# updates — the input index's cell tensors are CONSUMED).
+_scatter_updates = jax.jit(_scatter_updates_impl)
+_scatter_updates_donated = jax.jit(_scatter_updates_impl,
+                                   donate_argnums=(0, 1, 2))
+
+
 def build_ivf(
     coarse: Array,
     pq: Pq,
@@ -572,23 +590,43 @@ def build_ivf(
 
 
 def _assign_free_slots(
-    cell_of: np.ndarray, slot_of: np.ndarray, cell_ids_np: np.ndarray
+    cell_of: np.ndarray, slot_of: np.ndarray, cell_ids: Array
 ) -> np.ndarray:
     """Map greedy-place virtual slot ranks to *actual* empty slot indices.
 
     ``_greedy_place`` numbers slots ``fill + rank`` assuming occupancy is
     a prefix of each cell — true for a virgin build, false after
     :func:`ivf_remove` leaves holes.  Re-assign each placed row, in rank
-    order, to its cell's real empty slots."""
+    order, to its cell's real empty slots.
+
+    The occupancy scan runs on device over only the *touched* cells (a
+    stable argsort puts each cell's free slots first, in ascending slot
+    order), so the resident ``cell_ids`` tensor never crosses to the
+    host — only ``(touched, L)`` index rows' worth of sort output and
+    the final ``(placed,)`` slot vector do."""
     out = np.full_like(slot_of, -1)
     placed = np.where(cell_of >= 0)[0]
+    if not len(placed):
+        return out
     order = np.lexsort((slot_of[placed], cell_of[placed]))
     rows = placed[order]
     cells = cell_of[rows]
-    for c in np.unique(cells):
-        rmask = cells == c
-        free = np.where(cell_ids_np[c] < 0)[0]
-        out[rows[rmask]] = free[: int(rmask.sum())]
+    # Rank of each row within its (contiguous after the lexsort) cell run.
+    starts = np.concatenate([[0], np.where(np.diff(cells))[0] + 1])
+    starts_of = np.zeros(len(cells), np.int64)
+    starts_of[starts] = starts
+    np.maximum.accumulate(starts_of, out=starts_of)
+    ranks = np.arange(len(cells)) - starts_of
+    touched, tinv = np.unique(cells, return_inverse=True)
+    # Device: ascending free-slot order per touched cell.  Stable sort of
+    # the occupancy mask puts empty slots (False) first, lowest index
+    # first; indexing it at each row's rank yields its real slot.
+    occ = jnp.take(cell_ids, jnp.asarray(touched.astype(np.int32)), axis=0)
+    free_order = jnp.argsort((occ >= 0).astype(jnp.int32), axis=1,
+                             stable=True)
+    slots = free_order[jnp.asarray(tinv.astype(np.int32)),
+                       jnp.asarray(ranks.astype(np.int32))]
+    out[rows] = np.asarray(slots)
     return out
 
 
@@ -601,6 +639,7 @@ def ivf_add(
     on_overflow: str = "spill",
     batch: int = 262_144,
     use_kernel: Optional[bool] = None,
+    donate: bool = False,
 ) -> IvfPq:
     """Incrementally add vectors to an existing index (functional — the
     input index is untouched and a new :class:`IvfPq` is returned).
@@ -615,10 +654,17 @@ def ivf_add(
     :func:`build_ivf` at a larger capacity.
 
     ``ids`` are the corpus rows the new vectors represent (defaults to
-    ``max(existing ids) + 1 + arange(n_new)``); duplicates of live ids
-    are rejected.  Complexity is O(n_new) device work + one host
-    scatter; the resident cell tensors are copied once (O(C·L·m) host
-    memory, no device round-trip of the old cells).
+    ``max(existing ids) + 1 + arange(n_new)``; must be non-negative —
+    ``-1`` marks empty slots); duplicates of live ids are rejected.
+
+    The resident cell tensors never cross to the host: occupancy stats,
+    id-clash checks, free-slot assignment, and the final scatter all run
+    on device, so host traffic is O(n_new + C + touched_cells), not
+    O(C·L·m).  By default the scatter is copy-on-write (one O(C·L·m)
+    HBM-bandwidth copy; the input index stays valid).  ``donate=True``
+    updates the buffers in place — zero-copy, but the INPUT index's cell
+    tensors are consumed and must not be used afterwards (the returned
+    index replaces it) — the right mode for high-rate streaming updates.
     """
     if _is_reader(instances):
         raise TypeError(
@@ -638,10 +684,10 @@ def ivf_add(
     m = index.pq.quantized_len
     dtype = index.cell_codes.dtype
 
-    cell_ids_np = np.asarray(index.cell_ids)
-    live_ids = cell_ids_np[cell_ids_np >= 0]
     if ids is None:
-        start = int(live_ids.max()) + 1 if live_ids.size else 0
+        # max() over the resident tensor is a device reduce; -1 (all
+        # slots empty) maps to start=0.
+        start = max(int(jnp.max(index.cell_ids)) + 1, 0)
         ids = start + np.arange(n_new, dtype=np.int64)
     else:
         ids = np.asarray(ids, dtype=np.int64)
@@ -649,16 +695,22 @@ def ivf_add(
             raise ValueError(
                 f"ids has shape {ids.shape}, expected ({n_new},)"
             )
-        clash = np.intersect1d(ids, live_ids)
-        if clash.size:
-            raise ValueError(
-                f"{clash.size} ids already live in the index "
-                f"(first: {clash[:5].tolist()}); ivf_remove them first"
-            )
+        if ids.min(initial=0) < 0:
+            raise ValueError("ids must be non-negative (-1 marks empty slots)")
         if len(np.unique(ids)) != n_new:
             raise ValueError("duplicate ids in the batch")
+        clash_mask = np.asarray(
+            jnp.isin(jnp.asarray(ids.astype(np.int32)),
+                     index.cell_ids.ravel())
+        )
+        if clash_mask.any():
+            first = np.sort(ids[clash_mask])[:5]
+            raise ValueError(
+                f"{int(clash_mask.sum())} ids already live in the index "
+                f"(first: {first.tolist()}); ivf_remove them first"
+            )
 
-    fill = (cell_ids_np >= 0).sum(axis=1).astype(np.int64)
+    fill = np.asarray(jnp.sum(index.cell_ids >= 0, axis=1)).astype(np.int64)
     free_total = int(C * L - fill.sum())
     if free_total < n_new and on_overflow != "drop":
         raise ValueError(
@@ -698,7 +750,7 @@ def ivf_add(
                 len(overflowed),
             )
 
-    slot_of = _assign_free_slots(cell_of, slot_of, cell_ids_np)
+    slot_of = _assign_free_slots(cell_of, slot_of, index.cell_ids)
 
     placed_rows = np.where(cell_of >= 0)[0]
     codes_parts, norms_parts = [], []
@@ -711,26 +763,29 @@ def ivf_add(
         )
         codes_parts.append(codes_b)
         norms_parts.append(norms_b)
-    cell_codes = np.asarray(index.cell_codes).copy()
-    cell_ids_new = cell_ids_np.copy()
-    cell_norms = np.asarray(index.cell_norms).copy()
     if len(placed_rows):
-        codes_all = np.asarray(jnp.concatenate(codes_parts, axis=0))
-        norms_all = np.asarray(jnp.concatenate(norms_parts, axis=0))
-        cc = cell_of[placed_rows]
-        ss = slot_of[placed_rows]
-        cell_codes[cc, ss] = codes_all
-        cell_ids_new[cc, ss] = ids[placed_rows]
-        cell_norms[cc, ss] = norms_all
+        scatter = _scatter_updates_donated if donate else _scatter_updates
+        cell_codes, cell_ids_new, cell_norms = scatter(
+            index.cell_codes, index.cell_ids, index.cell_norms,
+            jnp.asarray(cell_of[placed_rows].astype(np.int32)),
+            jnp.asarray(slot_of[placed_rows].astype(np.int32)),
+            jnp.concatenate(codes_parts, axis=0),
+            jnp.asarray(ids[placed_rows].astype(np.int32)),
+            jnp.concatenate(norms_parts, axis=0),
+        )
+    else:
+        cell_codes = index.cell_codes
+        cell_ids_new = index.cell_ids
+        cell_norms = index.cell_norms
 
     logger.info("IVF add: %d rows placed (%d dropped)",
                 len(placed_rows), len(dropped_ids))
     out = IvfPq(
         coarse_centroids=coarse,
         pq=index.pq,
-        cell_codes=jnp.asarray(cell_codes),
-        cell_ids=jnp.asarray(cell_ids_new),
-        cell_norms=jnp.asarray(cell_norms),
+        cell_codes=cell_codes,
+        cell_ids=cell_ids_new,
+        cell_norms=cell_norms,
     )
     # Accumulate with the input index's record (a build under
     # on_overflow="drop" stores its dropped rows there; losing it on the
@@ -748,19 +803,22 @@ def ivf_remove(index: IvfPq, ids) -> IvfPq:
     are reused by subsequent :func:`ivf_add` calls; cell tensors keep
     their static shapes, so compiled search programs are unaffected.
     Ids not present in the index are ignored (removal is idempotent).
+    The membership test and mask run on device — host traffic is
+    O(len(ids)), not O(C·L).
     """
-    ids = np.asarray(ids, dtype=np.int64).ravel()
-    cell_ids_np = np.asarray(index.cell_ids)
-    kill = np.isin(cell_ids_np, ids) & (cell_ids_np >= 0)
-    n_removed = int(kill.sum())
-    cell_ids_new = np.where(kill, -1, cell_ids_np)
-    logger.info("IVF remove: %d of %d requested ids removed",
-                n_removed, len(np.unique(ids)))
+    ids = np.unique(np.asarray(ids, dtype=np.int64).ravel())
+    kill = jnp.isin(index.cell_ids,
+                    jnp.asarray(ids.astype(np.int32)))
+    kill = kill & (index.cell_ids >= 0)
+    cell_ids_new = jnp.where(kill, -1, index.cell_ids)
+    if logger.isEnabledFor(logging.INFO):  # int() forces a device sync
+        logger.info("IVF remove: %d of %d requested ids removed",
+                    int(jnp.sum(kill)), len(ids))
     out = IvfPq(
         coarse_centroids=index.coarse_centroids,
         pq=index.pq,
         cell_codes=index.cell_codes,
-        cell_ids=jnp.asarray(cell_ids_new.astype(np.int32)),
+        cell_ids=cell_ids_new,
         cell_norms=index.cell_norms,
     )
     out.dropped_ids = getattr(index, "dropped_ids", np.empty(0, np.int64))
