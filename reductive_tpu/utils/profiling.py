@@ -45,7 +45,12 @@ def device_sync(tree: Any) -> None:
     """
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "dtype"):
-            jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)).item()
+            # Slice one element along every axis BEFORE flattening:
+            # ravel-first materializes a full copy of the array (XLA
+            # reshape is a physical copy), which at multi-GB leaf sizes
+            # is an OOM waiting to happen next to the live buffer.
+            first = leaf[tuple(slice(0, 1) for _ in range(leaf.ndim))]
+            jnp.sum(jnp.ravel(first).astype(jnp.float32)).item()
 
 
 def benchmark(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> float:
