@@ -35,7 +35,6 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import check_quantizer_invariants
-from ..kmeans import NIterations
 from ..pq.model import Pq
 from ..pq.train import _train_codebooks
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ logger = logging.getLogger("reductive_tpu")
 from ..errors import check_quantizer_invariants
 from ..kmeans import (
     NIterations,
-    RandomInstanceCentroids,
     kmeans_with_centroids,
     random_distinct_indices,
 )

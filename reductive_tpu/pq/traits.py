@@ -27,7 +27,6 @@ from __future__ import annotations
 import os
 
 import jax
-import jax.numpy as jnp
 from jax import Array
 
 from .model import Pq

@@ -4,7 +4,6 @@ invariants permit (reference: ``check_quantizer_invariants``,
 through the trainers, primitives, and all three Pallas kernels."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from reductive_tpu import Pq, train_pq
 from reductive_tpu.kmeans import kmeans_iteration, kmeans_with_centroids, NIterations

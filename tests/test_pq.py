@@ -21,7 +21,6 @@ from reductive_tpu.errors import (
     IncorrectNumberSubquantizers,
     NSubquantizersOutsideRange,
 )
-from reductive_tpu.linalg import euclidean_distance
 
 
 def ref_vectors():

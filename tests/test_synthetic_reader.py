@@ -7,7 +7,6 @@ from the same rows materialized up front.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
