@@ -182,7 +182,7 @@ def bench_config2(quick):
         record("config2_encode_1Mx128_m16_k256_kernel_verified", dt,
                extra={"vectors_per_sec": round(n / dt, 1),
                       "note": "bit-exact: 3-pass + margin-flagged einsum "
-                      "re-encode (~3% of rows)"})
+                      "re-encode (~6% of rows)"})
 
         if not quick:
             # Large-batch serving: per-dispatch overhead amortizes and

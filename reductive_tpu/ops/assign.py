@@ -184,14 +184,18 @@ def _encode_kernel(x_ref, wt_ref, csqn_ref, codes_ref, *,
 
 
 def _choose_tiling(m: int, kp: int, d: int, compute_itemsize: int,
-                   block_n: int | None, exact: bool = False) -> tuple[int, int]:
+                   block_n: int | None, exact: bool = False,
+                   candidates: tuple = (2048, 1024, 512, 256, 128),
+                   ) -> tuple[int, int]:
     """Pick (block_n, groups) so the kernel's live VMEM fits the ~14 MB
     budget: resident W (m*kp, d) + x tile (block_n, d) f32 (+ the exact
     mode's two bf16 x-splits) + ~3 transient (m*kp/groups, block_n)
-    f32/int32 buffers."""
+    f32/int32 buffers.  ``candidates`` orders the block_n preference —
+    kernels with more live buffers (the verify kernel) measure faster at
+    smaller tiles."""
     budget = 14 * (1 << 20)
     w_bytes = m * kp * d * compute_itemsize
-    candidates_bn = [block_n] if block_n else [2048, 1024, 512, 256, 128]
+    candidates_bn = [block_n] if block_n else list(candidates)
     for bn in candidates_bn:
         x_bytes = bn * d * 4 + (2 * bn * d * 2 if exact else 0)
         for groups in [g for g in range(1, m + 1) if m % g == 0]:
@@ -364,11 +368,13 @@ def pq_encode_verified(
 ) -> Array:
     """Bit-exact fused encode: the 3-pass exact kernel plus einsum
     re-scoring of the rows whose top-2 margin falls within the split
-    error bound.  Measured ~21M vec/s at the flagship 1M×128 shape
-    (vs 43M for the plain 3-pass mode whose residual 2^-17 error it
-    removes) — the subset re-encode always processes the padded cap, so
-    a smaller ``cap_frac`` (still 5x the ~3% measured flag rate; the
-    fallback keeps correctness at ANY rate) trims the fixed overhead.
+    error bound.  Measured 33.2M vec/s at the flagship 1M×128 shape
+    (vs 46.3M for the plain 3-pass mode whose residual 2^-17 error it
+    removes): the flag-margin kernel runs at 40M vec/s on 256-row tiles
+    and the subset re-encode is scatter-free (top_k compaction +
+    position-gather apply) — the subset stage always processes the
+    padded cap, so a smaller ``cap_frac`` (the fallback keeps
+    correctness at ANY flag rate) trims its fixed cost.
 
     The plain exact kernel (``pq_encode(compute_dtype=jnp.float32)``)
     carries ~2^-17 relative score error and 2^-15 packed-key tie
@@ -398,7 +404,14 @@ def pq_encode_verified(
 
     W, c_sqn, kp = pack_block_diagonal(codebooks, jnp.float32, scale=2.0)
     Wt = trunc_split2_bf16_stacked(W.T)
-    bn, groups = _choose_tiling(m, kp, d, 4, block_n, exact=True)
+    # Smaller row tiles than the plain kernel: the verify kernel keeps
+    # ~2x the live VMEM (onehot/m1/m2/margin next to scores/keys), and
+    # measured v5e throughput at the flagship shape is 40.3M vec/s at
+    # bn=256 vs 34.7M at the plain kernel's 2048 (Mosaic spills the
+    # larger tiles).
+    bn, groups = _choose_tiling(
+        m, kp, d, 4, block_n, exact=True, candidates=(256, 512, 1024, 2048, 128)
+    )
     idx_bits = max(1, (kp - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
     # e_j^2 = (2^-14 * max_c ||2 c_jc||)^2: the squared split-error scale
@@ -413,6 +426,7 @@ def pq_encode_verified(
         _encode_verify_kernel, m=m, kp=kp, groups=groups, idx_mask=idx_mask,
         block_n=bn,
     )
+    del block_n  # the chosen bn is what matters below
     codes_t, flags = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(n, bn),),
@@ -432,17 +446,27 @@ def pq_encode_verified(
         ],
         interpret=interpret,
     )(x, Wt, c_sqn, esq)
-    codes = codes_t.T  # (n, m) int32
+    codes = codes_t.T.astype(dtype)  # (n, m)
 
-    # Exact einsum re-encode of the flagged rows (gathered, padded with
-    # row 0 — its exact codes scatter idempotently), chunked so the
-    # (chunk, m, k) distance transient stays ~250 MB.
+    # Exact einsum re-encode of the flagged rows, chunked so the
+    # (chunk, m, k) distance transient stays ~250 MB.  Compaction is
+    # scatter-free: XLA TPU scatters serialize (measured ~6 ms for a
+    # 65k-row scatter at n=1M, and jnp.nonzero's internal scatter cost
+    # ~13 ms), so flagged rows are collected with top_k over the
+    # flag-masked negated iota (~2 ms) and the fixed codes are applied
+    # back with a cumsum-position gather + where instead of a scatter.
     row_flag = flags[0] > 0
     count = jnp.sum(row_flag)
     chunk = 16384
-    cap = max(chunk, int(n * cap_frac) // chunk * chunk)
-    cap = min(cap, ((n + chunk - 1) // chunk) * chunk)
-    (rows,) = jnp.nonzero(row_flag, size=cap, fill_value=0)
+    # Round the cap UP to a chunk multiple: rounding down once cut the
+    # cap below a 5.8% measured flag rate at n=1e6 and silently tripped
+    # the full-fallback cliff (~80 ms).  A 4x mid-tier softens the cliff
+    # for moderately tie-heavy data before the everything-re-encode.
+    cap = min(max(chunk, -(-int(n * cap_frac) // chunk) * chunk), n)
+    cap2 = min(4 * cap, n)
+    pos = jnp.cumsum(row_flag.astype(jnp.int32)) - 1
+    iota = jax.lax.iota(jnp.int32, n)
+    masked = jnp.where(row_flag, -iota, jnp.int32(-n - 1))
 
     def exact_codes(xs):
         s = xs.shape[0]
@@ -452,15 +476,27 @@ def pq_encode_verified(
             lambda xc: primitives.quantize_batch(codebooks, xc, dtype=jnp.int32),
             xp.reshape(-1, chunk, d),
         )
-        return out.reshape(-1, m)[:s]
+        return out.reshape(-1, m)[:s].astype(dtype)
 
-    fixed = codes.at[rows].set(exact_codes(jnp.take(x, rows, axis=0)))
-    full = jax.lax.cond(
+    def fix_subset(c):
+        def go():
+            neg, _ = jax.lax.top_k(masked, c)
+            rows = -neg  # first `c` flagged rows, ascending; pads = n + 1
+            xs = jnp.take(x, rows, axis=0, mode="fill", fill_value=0)
+            oc = exact_codes(xs)  # (c, m); pad rows never applied below
+            fixed = jnp.take(oc, jnp.clip(pos, 0, c - 1), axis=0)
+            return jnp.where(row_flag[:, None], fixed, codes)
+        return go
+
+    return jax.lax.cond(
         count <= cap,
-        lambda: fixed,
-        lambda: exact_codes(x),
+        fix_subset(cap),
+        lambda: jax.lax.cond(
+            count <= cap2,
+            fix_subset(cap2),
+            lambda: exact_codes(x),
+        ) if cap2 > cap else exact_codes(x),
     )
-    return full.astype(dtype)
 
 
 def assign_nearest(
