@@ -255,8 +255,13 @@ def pq_encode(
     Wt = W.T  # (m*kp, d)
     if exact:
         Wt = trunc_split2_bf16_stacked(Wt)  # (2, m*kp, d) bf16
+    # The exact mode's extra live splits measure faster on 1024-row tiles
+    # (47.2M vs 45.5M vec/s at the flagship shape on v5e); the bf16 mode
+    # keeps 2048 (156.4M vs 154.0M at 1024).
     block_n, groups = _choose_tiling(
-        m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n, exact=exact
+        m, kp, d, jnp.dtype(compute_dtype).itemsize, block_n, exact=exact,
+        candidates=(1024, 2048, 512, 256, 128) if exact
+        else (2048, 1024, 512, 256, 128),
     )
 
     idx_bits = max(1, (kp - 1).bit_length())

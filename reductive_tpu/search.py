@@ -351,7 +351,7 @@ def search(
     top_k: int = 10,
     *,
     chunk_size: int = 16384,
-    method: str = "einsum",
+    method: str = "auto",
     splits: int = 2,
     stream_chunk: Optional[int] = None,
     packed: bool = False,
@@ -368,11 +368,17 @@ def search(
     ``refine_with``).  For cosine similarity, L2-normalize corpus rows
     before encoding and queries before searching — dot == cosine on the
     unit sphere.  :func:`reductive_tpu.ivf.ivf_search` accepts the same
-    ``metric`` (IVF-IP, FAISS ``METRIC_INNER_PRODUCT`` analog).  ``method="kernel"`` scores
-    through the fused multi-hot Pallas kernel
-    (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) — ~1.4x faster at 16
-    queries and ~8x more efficient per query at 128 (full MXU lane
-    utilization); ``splits`` trades table precision for speed there.
+    ``metric`` (IVF-IP, FAISS ``METRIC_INNER_PRODUCT`` analog).
+
+    ``method="auto"`` (default) scores through the fused multi-hot
+    Pallas kernel (:func:`reductive_tpu.ops.adc.adc_scores_kernel`) on
+    TPU whenever the codes are u8/packed-u4 — ~1.4x faster at 16
+    queries, ~8x more efficient per query at 128 (full MXU lane
+    utilization), and ~20x on huge streamed corpora — and falls back to
+    the einsum scorer elsewhere (CPU, wide code dtypes).  Force
+    ``method="einsum"`` for platform-identical rankings (the kernel's
+    bf16 split tables can flip near-equidistant neighbors vs the f32
+    einsum scorer); ``splits`` trades kernel table precision for speed.
 
     ``packed=True`` searches a **packed-u4** corpus (``(n, m/2)`` bytes,
     :func:`reductive_tpu.ops.pack_u4_codes`; requires ``k <= 16`` and
@@ -403,6 +409,18 @@ def search(
     if top_k > codes.shape[0]:
         raise ValueError(
             f"top_k={top_k} exceeds corpus size {codes.shape[0]}"
+        )
+    if method == "auto":
+        # Default to the fused ADC kernel wherever it applies: on the
+        # 104.9M-code config-#5 corpus the streamed einsum scorer
+        # measured 0.67G pairs/s vs the kernel's ~13G at m=24 — a 20x
+        # default-path penalty.  The kernel consumes u8 (or packed-u4)
+        # codes; anything else keeps the einsum scorer.
+        method = (
+            "kernel"
+            if jax.default_backend() == "tpu"
+            and (packed or codes.dtype == jnp.uint8)
+            else "einsum"
         )
     if method not in ("einsum", "kernel", "decode"):
         raise ValueError(f"unknown search method {method!r}")
@@ -471,7 +489,7 @@ def search_sharded(
     mesh,
     data_axis: str = "data",
     chunk_size: int = 16384,
-    method: str = "einsum",
+    method: str = "auto",
     splits: int = 2,
     packed: bool = False,
     metric: str = "l2",
@@ -495,6 +513,13 @@ def search_sharded(
     """
     if top_k <= 0:
         raise ValueError("top_k must be >= 1")
+    if method == "auto":  # same resolution rule as search()
+        method = (
+            "kernel"
+            if jax.default_backend() == "tpu"
+            and (packed or codes.dtype == jnp.uint8)
+            else "einsum"
+        )
     if method not in ("einsum", "kernel", "decode"):
         raise ValueError(f"unknown search method {method!r}")
     if metric not in ("l2", "dot"):

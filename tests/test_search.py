@@ -730,3 +730,48 @@ def test_search_sharded_auto_streams(monkeypatch):
     d_1, _ = search(pq, queries, codes, top_k=5, stream_chunk=None)
     np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_search_method_auto_resolution(monkeypatch):
+    """``method="auto"`` picks the fused kernel exactly when the backend
+    is TPU and the codes are u8/packed; everywhere else it must produce
+    the einsum scorer's results (here: CPU -> einsum, bit-identical to an
+    explicit einsum call; and a fake-TPU backend with u16 codes must
+    also stay on einsum rather than handing wide codes to the kernel)."""
+    import reductive_tpu.search as search_mod
+
+    key = jax.random.PRNGKey(11)
+    kq, kx, kpq = jax.random.split(key, 3)
+    pq = make_pq(kpq)
+    d = pq.reconstructed_len
+    db = jax.random.normal(kx, (300, d), dtype=jnp.float32)
+    queries = jax.random.normal(kq, (5, d), dtype=jnp.float32)
+    codes = pq.quantize_batch(db)
+    assert codes.dtype == jnp.uint8
+
+    d_auto, i_auto = search(pq, queries, codes, top_k=7)
+    d_ein, i_ein = search(pq, queries, codes, top_k=7, method="einsum")
+    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_ein))
+    np.testing.assert_array_equal(np.asarray(d_auto), np.asarray(d_ein))
+
+    # Fake a TPU backend: u8 codes must route to the kernel (observed via
+    # the kernel's VMEM query batcher being consulted), u16 must not.
+    calls = []
+    monkeypatch.setattr(search_mod.jax, "default_backend", lambda: "tpu")
+    import reductive_tpu.ops.adc as adc_mod
+
+    real_mqb = adc_mod.max_query_batch
+    monkeypatch.setattr(
+        adc_mod, "max_query_batch",
+        lambda *a, **k: calls.append(a) or real_mqb(*a, **k),
+    )
+    try:
+        search(pq, queries, codes, top_k=7)
+    except Exception:
+        pass  # the kernel itself cannot run on CPU; routing is the test
+    assert calls, "auto on TPU with u8 codes must resolve to the kernel"
+
+    calls.clear()
+    codes16 = codes.astype(jnp.uint16)
+    search(pq, queries, codes16, top_k=7)  # einsum handles u16 fine
+    assert not calls, "auto must not hand non-u8 codes to the kernel"
