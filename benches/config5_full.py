@@ -161,9 +161,11 @@ def main() -> None:
     queries = r.read_rows(qidx) + 0.1 * jax.random.normal(
         jax.random.PRNGKey(10), (args.nq, D), jnp.float32)
     sync()
-    stream_chunk = min(1 << 20, n)
+    # Streaming chunk: the library's nq-aware default (bounds the
+    # per-chunk score transient; an explicit 1M chunk OOM'd at nq=128
+    # next to the resident 2.5 GB codes).
     t0 = time.perf_counter()
-    dists, idx = search(pq, queries, codes, 10, stream_chunk=stream_chunk)
+    dists, idx = search(pq, queries, codes, 10)
     device_sync(idx)
     dt = time.perf_counter() - t0
     hit = float(jnp.mean(jnp.any(idx == qidx[:, None], axis=1)))
@@ -177,7 +179,7 @@ def main() -> None:
 
     # -- 5. two-stage refine against the virtual corpus ----------------------
     t0 = time.perf_counter()
-    dists_r, idx_r = search(pq, queries, codes, 10, stream_chunk=stream_chunk,
+    dists_r, idx_r = search(pq, queries, codes, 10,
                             refine_with=r, refine_factor=4)
     device_sync(idx_r)
     dt = time.perf_counter() - t0

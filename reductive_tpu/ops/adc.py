@@ -182,7 +182,7 @@ def adc_scores_kernel(
             ),
             out_shape=jax.ShapeDtypeStruct((n, nq), jnp.float32),
             interpret=interpret,
-        )(codes.astype(jnp.int32), T, scale_offset)
+        )(codes, T, scale_offset)
         return out.T
 
     kernel = functools.partial(
@@ -202,5 +202,5 @@ def adc_scores_kernel(
         ),
         out_shape=jax.ShapeDtypeStruct((n, nq), jnp.float32),
         interpret=interpret,
-    )(codes.astype(jnp.int32), T)
+    )(codes, T)
     return out.T

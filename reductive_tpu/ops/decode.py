@@ -50,7 +50,15 @@ def lane_multihot(codes, m: int, kp: int, dtype) -> Array:
     expected code is *broadcast per segment* by one tiny MXU dot against
     a segment-selector matrix and compared against a segment-local iota
     in a single full-width pass (code values < 128 are exact in bf16, so
-    the f32 equality is exact)."""
+    the f32 equality is exact).
+
+    Codes arrive in their storage dtype (u8 for k <= 256) and are widened
+    here, INSIDE the kernel: converting at the pallas_call boundary made
+    XLA materialize an int32 copy of the whole corpus when the call sat
+    in a scan body (``convert(slice(x))`` is hoisted to
+    ``slice(convert(x))`` — a 10 GB allocation against the 104.9M-code
+    config-#5 corpus) and quadrupled the kernel's code DMA traffic."""
+    codes = codes.astype(jnp.int32)
     if kp >= 128:
         return _multihot_concat(codes, m, kp, dtype)
     return _multihot_broadcast(codes, m, kp, dtype)
@@ -95,7 +103,8 @@ def lane_multihot_packed(packed, m: int, kp: int, dtype):
     weight/table row blocks to match (:func:`packed_block_perm`), so no
     lane interleave is ever needed (Mosaic lowers lane-granular shuffles
     poorly)."""
-    codes_perm = jnp.concatenate([packed[:] & 0xF, (packed[:] >> 4) & 0xF], axis=1)
+    packed = packed.astype(jnp.int32)  # widen in VMEM (see lane_multihot)
+    codes_perm = jnp.concatenate([packed & 0xF, (packed >> 4) & 0xF], axis=1)
     return lane_multihot(codes_perm, m, kp, dtype)
 
 
@@ -284,7 +293,7 @@ def pq_decode(
             ),
             out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
             interpret=interpret,
-        )(codes.astype(jnp.int32), W, scale_offset)
+        )(codes, W, scale_offset)
         return out.astype(codebooks.dtype)
 
     kernel = functools.partial(_decode_kernel, m=m, kp=kp, splits=splits, packed=packed)
@@ -302,5 +311,5 @@ def pq_decode(
         ),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
-    )(codes.astype(jnp.int32), W)
+    )(codes, W)
     return out.astype(codebooks.dtype)

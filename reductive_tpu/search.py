@@ -54,10 +54,18 @@ def _resolve_stream_chunk(
     the ``(n, d)`` f32 reconstruction it materializes."""
     if stream_chunk is not None:
         return stream_chunk
+    # Bound the per-chunk (chunk, nq) score transient by the same 256 MB
+    # budget that triggers streaming: a flat 1M-row default OOM'd at
+    # nq=128 against the 104.9M-code corpus (512 MB scores + top_k
+    # doubles, double-buffered by the scan, next to 2.5 GB of resident
+    # codes on the 16 GB chip).
+    chunk = min(
+        _DEFAULT_STREAM_CHUNK, max(1 << 16, _STREAM_SCORE_ELEMS // max(nq, 1))
+    )
     if nq * n > _STREAM_SCORE_ELEMS:
-        return min(_DEFAULT_STREAM_CHUNK, n)
+        return min(chunk, n)
     if method == "decode" and n * d > _STREAM_SCORE_ELEMS:
-        return min(_DEFAULT_STREAM_CHUNK, n)
+        return min(chunk, n)
     return None
 
 
