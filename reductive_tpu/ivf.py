@@ -86,6 +86,15 @@ class IvfPq:
     def capacity(self) -> int:
         return self.cell_codes.shape[1]
 
+    @property
+    def packed(self) -> bool:
+        """True when cell codes are nibble-packed (``build_ivf(packed=
+        True)``, k <= 16): ``cell_codes`` is ``(C, L, m/2)`` bytes in the
+        :func:`reductive_tpu.ops.pack_u4_codes` layout.  Inferred from
+        the shape, so packed indexes round-trip through ``io.save``/
+        ``load`` and shard like unpacked ones."""
+        return self.cell_codes.shape[2] != self.pq.quantized_len
+
 
 def train_ivf_pq(
     key: Array,
@@ -381,6 +390,7 @@ def build_ivf(
     dtype=jnp.uint8,
     batch: int = 262_144,
     use_kernel: Optional[bool] = None,
+    packed: bool = False,
 ) -> IvfPq:
     """Assign, residual-encode, and scatter the corpus into dense cells.
 
@@ -422,6 +432,15 @@ def build_ivf(
       rows; their corpus ids are exposed programmatically as the
       ``dropped_ids`` numpy attribute on the returned index so pipelines
       that don't read logs can still detect an incomplete index.
+
+    ``packed=True`` (4-bit residual quantizers only: ``k <= 16``, ``m``
+    even) stores the cells nibble-packed — ``cell_codes`` becomes
+    ``(C, L, m/2)`` bytes in the :func:`reductive_tpu.ops.pack_u4_codes`
+    layout, halving the dominant HBM tensor (~2x corpus per chip) and
+    the probe-gather traffic.  Search unpacks the gathered candidates
+    in-flight (exact nibble arithmetic), so scores are **bit-equal** to
+    the unpacked index; :func:`ivf_add`/:func:`ivf_remove` handle packed
+    indexes transparently.
     """
     if on_overflow not in ("spill", "error", "drop"):
         raise ValueError(
@@ -437,6 +456,16 @@ def build_ivf(
         n, d = instances.shape
     C = coarse.shape[0]
     m = pq.quantized_len
+    if packed:
+        if pq.n_quantizer_centroids > 16:
+            raise ValueError(
+                f"packed=True requires 4-bit codes (k <= 16), got "
+                f"k={pq.n_quantizer_centroids}"
+            )
+        if m % 2 != 0:
+            raise ValueError(f"packed=True requires even m, got {m}")
+        if jnp.dtype(dtype) != jnp.uint8:
+            raise ValueError("packed=True requires dtype=uint8")
 
     def fetch_slice(off: int, b: int):
         if is_reader:
@@ -519,7 +548,8 @@ def build_ivf(
     # IVFADC score decomposition ||q - c - rec||^2 = ||q||^2 + g - 2 q.c
     # - 2 q.rec (Jegou et al., 2011, Eq. 13).  Device-side end to end;
     # the host only scatters (b, m) codes + (b,) norms per batch.
-    cell_codes = np.zeros((C, L, m), dtype=np.dtype(dtype))
+    mb = m // 2 if packed else m  # stored bytes per row
+    cell_codes = np.zeros((C, L, mb), dtype=np.dtype(dtype))
     cell_ids = np.full((C, L), -1, dtype=np.int32)
     cell_norms = np.zeros((C, L), np.float32)
     # Same single-fetch discipline as pass 1: per-batch device work
@@ -562,9 +592,14 @@ def build_ivf(
             )
             codes_parts.append(codes_b)
             norms_parts.append(norms_b)
-    codes_all = np.asarray(jnp.concatenate(codes_parts, axis=0))
+    codes_dev = jnp.concatenate(codes_parts, axis=0)
+    if packed:
+        from .ops.packing import pack_u4_codes
+
+        codes_dev = pack_u4_codes(codes_dev)  # halves the d2h fetch too
+    codes_all = np.asarray(codes_dev)
     norms_all = np.asarray(jnp.concatenate(norms_parts, axis=0))
-    del codes_parts, norms_parts
+    del codes_parts, norms_parts, codes_dev
     cc_all = cell_of[placed_rows]
     slots_all = slot_of[placed_rows]
     cell_codes[cc_all, slots_all] = codes_all
@@ -662,9 +697,13 @@ def ivf_add(
     on device, so host traffic is O(n_new + C + touched_cells), not
     O(C·L·m).  By default the scatter is copy-on-write (one O(C·L·m)
     HBM-bandwidth copy; the input index stays valid).  ``donate=True``
-    updates the buffers in place — zero-copy, but the INPUT index's cell
-    tensors are consumed and must not be used afterwards (the returned
-    index replaces it) — the right mode for high-rate streaming updates.
+    updates the buffers in place — zero-copy, but the donated buffers are
+    consumed for EVERY index that shares them, not just the direct input:
+    :func:`ivf_remove` returns an index whose ``cell_codes``/``cell_norms``
+    alias its input's, so donating a post-remove index also invalidates
+    the pre-remove index (and any other index in that alias chain); using
+    them afterwards raises a deleted-buffer error.  The right mode for
+    high-rate streaming updates where only the newest index is kept.
     """
     if _is_reader(instances):
         raise TypeError(
@@ -689,6 +728,11 @@ def ivf_add(
         # slots empty) maps to start=0.
         start = max(int(jnp.max(index.cell_ids)) + 1, 0)
         ids = start + np.arange(n_new, dtype=np.int64)
+        if ids[-1] >= 2 ** 31:
+            raise ValueError(
+                f"auto-assigned ids would exceed int32 (next id {start}, "
+                f"{n_new} new rows); pass explicit ids"
+            )
     else:
         ids = np.asarray(ids, dtype=np.int64)
         if ids.shape != (n_new,):
@@ -697,6 +741,13 @@ def ivf_add(
             )
         if ids.min(initial=0) < 0:
             raise ValueError("ids must be non-negative (-1 marks empty slots)")
+        if ids.max(initial=0) >= 2 ** 31:
+            # cell_ids is int32; silently wrapping a larger id would store
+            # a negative (= "empty") or aliased id and corrupt the index.
+            raise ValueError(
+                f"ids must fit int32 (max allowed {2 ** 31 - 1}, "
+                f"got {int(ids.max())})"
+            )
         if len(np.unique(ids)) != n_new:
             raise ValueError("duplicate ids in the batch")
         clash_mask = np.asarray(
@@ -764,12 +815,17 @@ def ivf_add(
         codes_parts.append(codes_b)
         norms_parts.append(norms_b)
     if len(placed_rows):
+        codes_cat = jnp.concatenate(codes_parts, axis=0)
+        if index.packed:
+            from .ops.packing import pack_u4_codes
+
+            codes_cat = pack_u4_codes(codes_cat)
         scatter = _scatter_updates_donated if donate else _scatter_updates
         cell_codes, cell_ids_new, cell_norms = scatter(
             index.cell_codes, index.cell_ids, index.cell_norms,
             jnp.asarray(cell_of[placed_rows].astype(np.int32)),
             jnp.asarray(slot_of[placed_rows].astype(np.int32)),
-            jnp.concatenate(codes_parts, axis=0),
+            codes_cat,
             jnp.asarray(ids[placed_rows].astype(np.int32)),
             jnp.concatenate(norms_parts, axis=0),
         )
@@ -802,11 +858,21 @@ def ivf_remove(index: IvfPq, ids) -> IvfPq:
     Matching slots become empty (``id=-1``, masked at score time) and
     are reused by subsequent :func:`ivf_add` calls; cell tensors keep
     their static shapes, so compiled search programs are unaffected.
-    Ids not present in the index are ignored (removal is idempotent).
-    The membership test and mask run on device — host traffic is
-    O(len(ids)), not O(C·L).
+    Ids not present in the index are ignored (removal is idempotent);
+    ids outside the int32 range cannot be present and are likewise
+    ignored.  The membership test and mask run on device — host traffic
+    is O(len(ids)), not O(C·L).
+
+    The returned index's ``cell_codes``/``cell_norms`` ALIAS the input's
+    buffers (only ``cell_ids`` is new) — a later ``ivf_add(...,
+    donate=True)`` on either index therefore consumes the buffers of
+    both; see :func:`ivf_add`.
     """
     ids = np.unique(np.asarray(ids, dtype=np.int64).ravel())
+    # cell_ids is int32, so ids outside [0, 2^31) cannot be present —
+    # drop them BEFORE the int32 cast (a wrapped id would alias a live
+    # row), preserving ignore-missing semantics.
+    ids = ids[(ids >= 0) & (ids < 2 ** 31)]
     kill = jnp.isin(index.cell_ids,
                     jnp.asarray(ids.astype(np.int32)))
     kill = kill & (index.cell_ids >= 0)
@@ -857,6 +923,7 @@ def _probe_and_score(
     d = m * ds
     nq = queries.shape[0]
     L = cell_codes.shape[1]
+    mb = cell_codes.shape[2]  # m/2 when nibble-packed (IvfPq.packed)
 
     # Nearest coarse cells — one MXU matmul feeding both the probe
     # selection and the q.c terms (for scoring).
@@ -889,9 +956,16 @@ def _probe_and_score(
         else queries
     )
 
-    def qdot(codes_chunk):  # (nq, pc, L, m) -> (nq, pc, L)
+    def qdot(codes_chunk):  # (nq, pc, L, mb) -> (nq, pc, L)
         pc = codes_chunk.shape[1]
-        flat = codes_chunk.reshape(nq * pc * L, m)
+        flat = codes_chunk.reshape(nq * pc * L, mb)
+        if mb != m:
+            # Packed cells: the gather above moved half the bytes; the
+            # nibble unpack here is exact, so scores are bit-equal to
+            # the unpacked index's.
+            from .ops.packing import unpack_u4_codes
+
+            flat = unpack_u4_codes(flat)
         if use_kernel:
             from .ops.decode import pq_decode
 

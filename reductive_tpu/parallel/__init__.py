@@ -19,9 +19,11 @@ from .sharded import (
     encode_sharded,
     sharded_kmeans,
     sharded_pq_train_step,
+    stream_encode_sharded,
     train_opq_chunked_sharded,
     train_pq_chunked_sharded,
     train_pq_sharded,
+    train_pq_streamed_sharded,
 )
 
 __all__ = [
@@ -32,5 +34,7 @@ __all__ = [
     "train_pq_sharded",
     "train_pq_chunked_sharded",
     "train_opq_chunked_sharded",
+    "train_pq_streamed_sharded",
     "encode_sharded",
+    "stream_encode_sharded",
 ]

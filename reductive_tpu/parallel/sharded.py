@@ -44,7 +44,9 @@ __all__ = [
     "train_pq_sharded",
     "train_pq_chunked_sharded",
     "train_opq_chunked_sharded",
+    "train_pq_streamed_sharded",
     "encode_sharded",
+    "stream_encode_sharded",
 ]
 
 
@@ -388,6 +390,286 @@ def train_opq_chunked_sharded(
     )
     projection, codebooks = step(x, projection, codebooks, n_iterations)
     return Pq(codebooks=codebooks, projection=projection)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host streamed composition: >HBM corpora over a data-axis mesh.
+#
+# The single-host streamed trainers (reductive_tpu/pq/streamed.py) re-read
+# the corpus from disk once per Lloyd's iteration.  On a pod the corpus is
+# also sharded across HOSTS: host h streams rows [h*n/H, (h+1)*n/H) of the
+# corpus file (on a real multi-process pod each process feeds its slice of
+# the global batch via jax.make_array_from_process_local_data; in the
+# single-controller setting below the controller reads every slice and
+# lays the stacked (H, b, d) batch out over the data axis — the SPMD
+# program is identical).  Per-shard statistics accumulate device-locally;
+# the ONLY cross-host traffic is one (m, k, ds)+(m, k) psum per iteration
+# (0.147 MB at the flagship shape), exactly like the in-HBM sharded
+# trainer — so the streamed path scales the same way.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _streamed_sharded_step(
+    mesh: Mesh, data_axis: str, use_kernel: bool, compute_dtype,
+    has_projection: bool,
+):
+    """Jitted per-batch accumulate: each device folds its local (1, b, d)
+    slice of the global batch into its local (1, ...) accumulators via the
+    same ``_stats_step`` the single-host streamed trainer uses.  No
+    communication — the psum happens once per iteration in
+    :func:`_streamed_sharded_reduce`."""
+    from ..pq.streamed import _stats_step
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(), P(), P(data_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+    def run(acc_local, codebooks, projection, xb_local):
+        s, c, q = _stats_step(
+            jax.tree_util.tree_map(lambda a: a[0], acc_local),
+            codebooks,
+            projection if has_projection else None,
+            xb_local[0],
+            use_kernel=use_kernel,
+            compute_dtype=compute_dtype,
+        )
+        return (s[None], c[None], q[None])
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _streamed_sharded_reduce(mesh: Mesh, data_axis: str):
+    """psum the per-shard accumulators to replicated global statistics —
+    the one collective of a streamed-sharded iteration."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(data_axis),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(acc_local):
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a[0], data_axis), acc_local
+        )
+
+    return run
+
+
+def train_pq_streamed_sharded(
+    key: Array,
+    reader,
+    n_subquantizers: int,
+    n_subquantizer_bits: int,
+    n_iterations: int,
+    n_attempts: int = 1,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    batch_size: int = 1 << 18,
+    use_kernel: Optional[bool] = None,
+    compute_dtype=jnp.float32,
+    projection: Optional[Array] = None,
+    transfer_dtype=None,
+    start: int = 0,
+    stop: Optional[int] = None,
+) -> Pq:
+    """Multi-host streamed PQ training: a corpus larger than ANY host's
+    memory, sharded by rows over the hosts of ``data_axis``, each host
+    re-streaming only its ``n/H`` slice per Lloyd's iteration.
+
+    The composition of :func:`reductive_tpu.pq.train_pq_streamed` (>HBM
+    streaming, same ``_stats_step`` arithmetic, same initial-centroid
+    draws — so results match the single-host streamed/chunked trainers up
+    to f32 partial-sum grouping) with :func:`train_pq_chunked_sharded`'s
+    communication structure (device-local statistics, one tiny psum per
+    iteration).  ``projection`` rotates batches on the fly (the streamed
+    GaussianOpq composition); ``transfer_dtype=jnp.bfloat16`` halves each
+    host's wire bytes exactly as on the single-host path.
+
+    ``reader`` rows must divide evenly over ``data_axis`` (pad the corpus
+    file or trim the tail; a ragged final shard would change the compiled
+    shapes per host).
+    """
+    from ..pq.streamed import _init_streamed_codebooks
+    from ..pq.train import centroids_from_stats, losses_from_stats
+    import numpy as np
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    H = mesh.shape[data_axis]
+    stop = reader.n if stop is None else min(stop, reader.n)
+    n, d = stop - start, reader.dim
+    check_quantizer_invariants(
+        n_subquantizers, n_subquantizer_bits, n_iterations, n_attempts, n, d
+    )
+    m, k = n_subquantizers, 2 ** n_subquantizer_bits
+    ds = d // m
+    if n % H != 0:
+        raise ValueError(
+            f"n={n} must divide evenly over data axis ({H} shards)"
+        )
+    per = n // H
+    acc_sh = NamedSharding(mesh, P(data_axis))
+    x_sh = NamedSharding(mesh, P(data_axis, None, None))
+    proj_arg = (
+        projection if projection is not None
+        else jnp.zeros((d, d), jnp.float32)
+    )
+    step = _streamed_sharded_step(
+        mesh, data_axis, use_kernel, compute_dtype, projection is not None
+    )
+    # The final partial batch (if any) runs the einsum step — same
+    # tail discipline as the single-host _stream_pass (a one-off Mosaic
+    # compile for the tail shape is never worth it).
+    step_tail = _streamed_sharded_step(
+        mesh, data_axis, False, compute_dtype, projection is not None
+    )
+    reduce = _streamed_sharded_reduce(mesh, data_axis)
+
+    def one_pass(cb):
+        acc = (
+            jax.device_put(np.zeros((H, m, k, ds), np.float32), acc_sh),
+            jax.device_put(np.zeros((H, m, k), np.float32), acc_sh),
+            jax.device_put(np.zeros((H, m), np.float32), acc_sh),
+        )
+        for off in range(0, per, batch_size):
+            b = min(batch_size, per - off)
+            # Controller-side stand-in for per-process local reads: on a
+            # real pod each process reads rows [start + h*per+off, +b)
+            # itself.
+            xb = np.stack(
+                [np.asarray(reader.read(start + h * per + off, b))
+                 for h in range(H)]
+            )
+            if transfer_dtype is not None:
+                xb = xb.astype(transfer_dtype)
+            xb = jax.device_put(xb, x_sh)
+            acc = (step if (b == batch_size or not use_kernel) else step_tail)(
+                acc, cb, proj_arg, xb
+            )
+        return reduce(acc)
+
+    best_cb, best_loss = None, None
+    for attempt in range(n_attempts):
+        akey = jax.random.fold_in(key, attempt)
+        cb = _init_streamed_codebooks(
+            akey, reader, m, k, ds, projection, start, stop
+        )
+        loss = jnp.full((m,), jnp.inf, jnp.float32)
+        for it in range(n_iterations):
+            sums, counts, sumsq = one_pass(cb)
+            cb = centroids_from_stats(sums, counts, cb.dtype)
+            loss = losses_from_stats(sums, counts, sumsq, n * ds)
+        if best_cb is None:
+            best_cb, best_loss = cb, loss
+        else:
+            better = loss < best_loss  # strict: ties keep earlier attempt
+            best_cb = jnp.where(better[:, None, None], cb, best_cb)
+            best_loss = jnp.minimum(best_loss, loss)
+    return Pq(codebooks=best_cb, projection=projection)
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_encode_sharded_step(
+    mesh: Mesh, data_axis: str, dtype, use_kernel: bool, has_projection: bool
+):
+    if use_kernel:
+        from ..ops.assign import pq_encode
+
+        on_cpu = jax.default_backend() == "cpu"
+
+        def encode_one(codebooks, projection, x):
+            if has_projection:
+                x = jnp.dot(x, projection, precision="highest")
+            return pq_encode(
+                codebooks, x, dtype=dtype,
+                compute_dtype=jnp.float32 if on_cpu else jnp.bfloat16,
+                interpret=on_cpu,
+            )
+    else:
+        from ..pq import primitives
+
+        def encode_one(codebooks, projection, x):
+            x = x.astype(codebooks.dtype)
+            if has_projection:
+                x = jnp.dot(x, projection, precision="highest")
+            return primitives.quantize_batch(codebooks, x, dtype=dtype)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+    def run(codebooks, projection, xb_local):
+        return encode_one(codebooks, projection, xb_local[0])[None]
+
+    return run
+
+
+def stream_encode_sharded(
+    pq: Pq,
+    reader,
+    *,
+    mesh: Mesh,
+    data_axis: str = "data",
+    batch_size: int = 1 << 18,
+    dtype=jnp.uint8,
+    use_kernel: Optional[bool] = None,
+    transfer_dtype=None,
+) -> "np.ndarray":
+    """Multi-host streamed encode: each host of ``data_axis`` streams its
+    ``n/H`` row slice of the reader through the encode kernel; codes come
+    back in corpus order.  Encode is embarrassingly parallel — zero
+    collectives — and per-row arithmetic is identical to
+    :func:`reductive_tpu.data.stream_encode`, so the emitted code matrix
+    is **bit-equal** to the single-host stream at any shard count.
+    ``n`` must divide evenly over ``data_axis``.
+    """
+    import numpy as np
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    H = mesh.shape[data_axis]
+    n, m = reader.n, pq.quantized_len
+    if n % H != 0:
+        raise ValueError(
+            f"n={n} must divide evenly over data axis ({H} shards)"
+        )
+    per = n // H
+    x_sh = NamedSharding(mesh, P(data_axis, None, None))
+    d = reader.dim
+    proj_arg = (
+        pq.projection if pq.projection is not None
+        else jnp.zeros((d, d), jnp.float32)
+    )
+    step = _stream_encode_sharded_step(
+        mesh, data_axis, jnp.dtype(dtype), use_kernel,
+        pq.projection is not None,
+    )
+    out = np.empty((n, m), dtype=np.dtype(dtype))
+    for off in range(0, per, batch_size):
+        b = min(batch_size, per - off)
+        xb = np.stack(
+            [np.asarray(reader.read(h * per + off, b)) for h in range(H)]
+        )
+        if transfer_dtype is not None:
+            xb = xb.astype(transfer_dtype)
+        codes = np.asarray(step(pq.codebooks, proj_arg, jax.device_put(xb, x_sh)))
+        for h in range(H):
+            out[h * per + off : h * per + off + b] = codes[h]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,13 @@ TPU-native counterpart of the reference's ``pq`` module tree
 """
 
 from . import primitives
-from .model import Pq, quantize_batch_into, reconstruct_batch_into
+from .model import (
+    Pq,
+    quantize_batch_into,
+    quantize_vector_into,
+    reconstruct_batch_into,
+    reconstruct_into,
+)
 from .opq import (
     bucket_eigenvalues,
     create_projection_matrix,
@@ -37,7 +43,9 @@ from .traits import GaussianOpq, Opq, PqTrainer, entropy_key
 __all__ = [
     "Pq",
     "quantize_batch_into",
+    "quantize_vector_into",
     "reconstruct_batch_into",
+    "reconstruct_into",
     "PqTrainer",
     "Opq",
     "GaussianOpq",

@@ -27,7 +27,10 @@ from jax import Array
 
 from . import primitives
 
-__all__ = ["Pq", "quantize_batch_into", "reconstruct_batch_into"]
+__all__ = [
+    "Pq", "quantize_batch_into", "reconstruct_batch_into",
+    "quantize_vector_into", "reconstruct_into",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -208,3 +211,46 @@ def reconstruct_batch_into(
     if tuple(out.shape) != (n, d):
         raise ValueError(f"out has shape {out.shape}, expected {(n, d)}")
     return _reconstruct_into(pq, codes, out, method)
+
+
+def quantize_vector_into(pq: Pq, x: Array, out: Array) -> Array:
+    """Encode ONE ``(d,)`` vector, reusing ``out``'s device memory.
+
+    ``out`` must be a ``(m,)`` device array of the desired code dtype; it
+    is **donated** and the returned code row aliases it where the backend
+    supports donation.  The single-vector counterpart of
+    :func:`quantize_batch_into` — mirrors the reference's
+    ``QuantizeVector::quantize_vector_into``-style caller-storage entry
+    (``src/pq/traits.rs:56-76``; single code row, caller-owned output).
+    """
+    m = pq.quantized_len
+    if tuple(out.shape) != (m,):
+        raise ValueError(f"out has shape {out.shape}, expected {(m,)}")
+    return _quantize_vec_into(pq, x, out, jnp.dtype(out.dtype))
+
+
+def reconstruct_into(pq: Pq, code: Array, out: Array) -> Array:
+    """Decode ONE ``(m,)`` code row, reusing ``out``'s device memory.
+
+    ``out`` must be a ``(d,)`` f32 device array; it is **donated** and the
+    returned vector aliases it where the backend supports donation.  The
+    single-vector counterpart of :func:`reconstruct_batch_into` — the TPU
+    analog of the reference's ``Reconstruct::reconstruct_into``
+    (``src/pq/traits.rs:133-141``).
+    """
+    d = pq.reconstructed_len
+    if tuple(out.shape) != (d,):
+        raise ValueError(f"out has shape {out.shape}, expected {(d,)}")
+    return _reconstruct_vec_into(pq, code, out)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("dtype",))
+def _quantize_vec_into(pq: Pq, x: Array, out: Array, dtype) -> Array:
+    del out  # donated: XLA aliases its buffer to the returned code row
+    return pq.quantize_batch(x[None, :], dtype=dtype, method="exact")[0]
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _reconstruct_vec_into(pq: Pq, code: Array, out: Array) -> Array:
+    del out
+    return pq.reconstruct_batch(code[None, :], method="auto")[0]

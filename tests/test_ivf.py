@@ -647,6 +647,28 @@ def test_ivf_add_validation():
     if free < x_new.shape[0]:
         with pytest.raises(ValueError, match="total free capacity"):
             ivf_add(index, x_new, use_kernel=False)
+    # cell_ids is int32: ids >= 2^31 must be rejected, not wrapped (a
+    # wrapped id would be stored negative = "empty" or alias a live row).
+    with pytest.raises(ValueError, match="int32"):
+        ivf_add(index, x_new[:2], ids=np.array([7, 2 ** 32]),
+                use_kernel=False)
+
+
+def test_ivf_remove_ignores_out_of_range_ids():
+    # ivf_remove(index, [2**32]) must NOT wrap to 0 and delete row 0 —
+    # ids outside int32 cannot be present and are ignored (idempotent
+    # remove semantics).
+    key = jax.random.PRNGKey(48)
+    x = clustered_data(key, n_clusters=4, per=30)
+    coarse, pq = train_ivf_pq(key, x, 4, 4, 4, use_kernel=False,
+                              train_sample=None)
+    from reductive_tpu.ivf import ivf_remove
+
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    before = np.sort(np.asarray(index.cell_ids).ravel())
+    idx2 = ivf_remove(index, np.array([2 ** 32, 2 ** 31, -5], dtype=np.int64))
+    after = np.sort(np.asarray(idx2.cell_ids).ravel())
+    np.testing.assert_array_equal(before, after)
 
 
 def test_ivf_add_with_opq_residuals():
@@ -725,3 +747,76 @@ def test_spherical_coarse_training():
     with pytest.raises(ValueError, match="coarse_metric"):
         train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
                      train_sample=None, coarse_metric="cosine")
+
+
+def test_packed_cells_bit_equal():
+    """packed=True (k<=16): half-size cell tensor, search results
+    bit-equal to the unpacked index; add/remove handle packed cells;
+    io round-trips the packed layout."""
+    key = jax.random.PRNGKey(52)
+    x = clustered_data(key, n_clusters=8, per=100, d=16)
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    idx_u = build_ivf(coarse, pq, x, use_kernel=False)
+    idx_p = build_ivf(coarse, pq, x, use_kernel=False, packed=True)
+    assert not idx_u.packed and idx_p.packed
+    assert idx_p.cell_codes.shape[2] == idx_u.cell_codes.shape[2] // 2
+
+    q = x[::77][:8]
+    for metric in ("l2", "dot"):
+        d_u, i_u = ivf_search(idx_u, q, top_k=5, nprobe=4, metric=metric)
+        d_p, i_p = ivf_search(idx_p, q, top_k=5, nprobe=4, metric=metric)
+        np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+        np.testing.assert_array_equal(np.asarray(d_u), np.asarray(d_p))
+
+    # Adds pack the new codes into the same layout (results stay equal
+    # to the unpacked index receiving the same rows).
+    from reductive_tpu.ivf import ivf_add, ivf_remove
+
+    gone = np.arange(0, x.shape[0], 17)
+    x_new = clustered_data(jax.random.PRNGKey(53), n_clusters=8, per=4,
+                           d=16)
+    idx_u2 = ivf_add(ivf_remove(idx_u, gone), x_new, use_kernel=False)
+    idx_p2 = ivf_add(ivf_remove(idx_p, gone), x_new, use_kernel=False)
+    d_u, i_u = ivf_search(idx_u2, q, top_k=5, nprobe=8)
+    d_p, i_p = ivf_search(idx_p2, q, top_k=5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+    np.testing.assert_array_equal(np.asarray(d_u), np.asarray(d_p))
+
+    # io round-trip preserves the packed layout (shape-inferred).
+    import tempfile, os
+    from reductive_tpu import io as rio
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ivf_packed.npz")
+        rio.save(p, idx_p)
+        loaded = rio.load(p)
+        assert loaded.packed
+        d_l, i_l = ivf_search(loaded, q, top_k=5, nprobe=4)
+        d_p, i_p = ivf_search(idx_p, q, top_k=5, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(i_l), np.asarray(i_p))
+
+    # Validation: packed requires 4-bit codes.
+    from reductive_tpu import train_pq as _tp
+    pq8 = _tp(key, x, 4, 8, 2, 1)
+    with pytest.raises(ValueError, match="k <= 16"):
+        build_ivf(coarse, pq8, x, use_kernel=False, packed=True)
+
+
+def test_packed_cells_sharded_search():
+    """Packed cells shard like unpacked ones (shape-inferred unpack in
+    the shared probe core): full-coverage sharded search equals the
+    single-device full probe."""
+    from reductive_tpu.parallel import make_mesh
+    from reductive_tpu.ivf import ivf_search_sharded
+
+    key = jax.random.PRNGKey(54)
+    x = clustered_data(key, n_clusters=16, per=60, d=16)
+    coarse, pq = train_ivf_pq(key, x, 16, 4, 4, use_kernel=False,
+                              train_sample=None)
+    idx_p = build_ivf(coarse, pq, x, use_kernel=False, packed=True)
+    q = x[::53][:6]
+    d_1, i_1 = ivf_search(idx_p, q, top_k=5, nprobe=16, use_kernel=False)
+    d_s, i_s = ivf_search_sharded(idx_p, q, top_k=5, nprobe=2,
+                                  mesh=make_mesh(), use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_s))

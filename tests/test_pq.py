@@ -272,6 +272,33 @@ def test_quantize_reconstruct_into():
         reconstruct_batch_into(pq, codes, jnp.zeros((n + 1, m * ds), jnp.float32))
 
 
+def test_single_vector_into():
+    """Single-vector caller-storage entries (reference Reconstruct::
+    reconstruct_into, src/pq/traits.rs:133-141, and the single-vector
+    quantize with caller output): equal to the plain single-vector
+    paths, with shape validation."""
+    import pytest
+
+    from reductive_tpu.pq import quantize_vector_into, reconstruct_into
+
+    m, k, ds = 4, 16, 3
+    kc, kx = jax.random.split(jax.random.PRNGKey(3))
+    pq = Pq(codebooks=jax.random.normal(kc, (m, k, ds), dtype=jnp.float32))
+    x = jax.random.normal(kx, (m * ds,), dtype=jnp.float32)
+
+    code = quantize_vector_into(pq, x, jnp.zeros((m,), jnp.uint8))
+    np.testing.assert_array_equal(np.asarray(code),
+                                  np.asarray(pq.quantize_vector(x)))
+    rec = reconstruct_into(pq, code, jnp.zeros((m * ds,), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(rec),
+                                  np.asarray(pq.reconstruct(code)))
+
+    with pytest.raises(ValueError, match="expected"):
+        quantize_vector_into(pq, x, jnp.zeros((m + 1,), jnp.uint8))
+    with pytest.raises(ValueError, match="expected"):
+        reconstruct_into(pq, code, jnp.zeros((m * ds + 1,), jnp.float32))
+
+
 def test_quantize_batch_kernel_f32_method():
     """Pq.quantize_batch(method="kernel-f32") routes through the exact
     kernel mode; on random data it matches the einsum oracle."""

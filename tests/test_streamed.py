@@ -159,3 +159,70 @@ def test_streamed_transfer_dtype_bf16(tmp_path):
                                  transfer_dtype=jnp.bfloat16)
     l32, lbf = avg_loss(pq32, x), avg_loss(pqbf, x)
     assert abs(l32 - lbf) <= 0.05 * l32, (l32, lbf)
+
+
+def test_streamed_sharded_matches_single_host(tmp_path):
+    """Multi-host streamed composition (SURVEY §7 step 7): each mesh-data
+    shard streams its n/H reader slice, statistics psum once per
+    iteration.  Same keys => same initial draws as the single-host
+    streamed trainer; results match up to f32 partial-sum grouping."""
+    from reductive_tpu.parallel import make_mesh, train_pq_streamed_sharded
+
+    x, path = make_corpus(tmp_path, key=5, n=2048, d=16)
+    key = jax.random.PRNGKey(11)
+    mesh = make_mesh()  # 8 virtual CPU devices
+    with VecsReader(path) as reader:
+        pq_1h = train_pq_streamed(key, reader, 4, 3, 5, batch_size=256,
+                                  use_kernel=False)
+        pq_mh = train_pq_streamed_sharded(key, reader, 4, 3, 5,
+                                          mesh=mesh, batch_size=128,
+                                          use_kernel=False)
+        # Ragged shard split is rejected loudly.
+        with pytest.raises(ValueError, match="divide evenly"):
+            train_pq_streamed_sharded(key, reader, 4, 3, 1, mesh=mesh,
+                                      batch_size=128, use_kernel=False,
+                                      stop=2041)
+    np.testing.assert_allclose(
+        np.asarray(pq_mh.codebooks), np.asarray(pq_1h.codebooks), atol=1e-5
+    )
+    # Quality gate on the original corpus.
+    assert avg_loss(pq_mh, x) <= avg_loss(pq_1h, x) * 1.05
+
+
+def test_streamed_sharded_best_of_attempts(tmp_path):
+    from reductive_tpu.parallel import make_mesh, train_pq_streamed_sharded
+
+    x, path = make_corpus(tmp_path, key=6, n=1024, d=16)
+    key = jax.random.PRNGKey(13)
+    mesh = make_mesh()
+    with VecsReader(path) as reader:
+        pq_1h = train_pq_streamed(key, reader, 2, 4, 4, n_attempts=3,
+                                  batch_size=128, use_kernel=False)
+        pq_mh = train_pq_streamed_sharded(key, reader, 2, 4, 4,
+                                          n_attempts=3, mesh=mesh,
+                                          batch_size=128, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(pq_mh.codebooks), np.asarray(pq_1h.codebooks), atol=1e-5
+    )
+
+
+def test_stream_encode_sharded_bit_equal(tmp_path):
+    """Sharded streamed encode: bit-equal to the single-host stream (and
+    to the in-memory batch encode) at any shard count."""
+    from reductive_tpu.data import stream_encode
+    from reductive_tpu.parallel import make_mesh, stream_encode_sharded
+
+    x, path = make_corpus(tmp_path, key=7, n=1024, d=16)
+    key = jax.random.PRNGKey(17)
+    pq = train_pq_chunked(key, jnp.asarray(x), 4, 3, 4, chunk=256,
+                          use_kernel=False)
+    mesh = make_mesh()
+    with VecsReader(path) as reader:
+        codes_1h = stream_encode(pq, reader, batch_size=256,
+                                 use_kernel=False)
+        codes_mh = stream_encode_sharded(pq, reader, mesh=mesh,
+                                         batch_size=64, use_kernel=False)
+    np.testing.assert_array_equal(codes_mh, codes_1h)
+    np.testing.assert_array_equal(
+        codes_mh, np.asarray(pq.quantize_batch(jnp.asarray(x)))
+    )

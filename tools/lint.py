@@ -23,7 +23,12 @@ from pathlib import Path
 
 
 def imported_names(tree: ast.Module):
-    """Yield (local_name, node) for every MODULE-LEVEL import binding.
+    """Yield (local_name, f811_key, node) for every MODULE-LEVEL import
+    binding.  ``local_name`` is what usage (F401) checks; ``f811_key``
+    is what redefinition dedupes on — for ``import a.b`` followed by
+    ``import a.c`` the local binding is ``a`` both times but the imports
+    are distinct (ruff does not flag them), so the key is the full
+    dotted path.
 
     Function/method-local imports are out of scope: a scope-blind usage
     walk cannot attribute their uses correctly (they exist precisely to
@@ -32,14 +37,15 @@ def imported_names(tree: ast.Module):
     for node in tree.body:
         if isinstance(node, ast.Import):
             for a in node.names:
-                yield (a.asname or a.name.split(".")[0]), node
+                yield (a.asname or a.name.split(".")[0]), (a.asname or a.name), node
         elif isinstance(node, ast.ImportFrom):
             if node.module == "__future__":
                 continue
             for a in node.names:
                 if a.name == "*":
                     continue
-                yield (a.asname or a.name), node
+                local = a.asname or a.name
+                yield local, local, node
 
 
 def used_names(tree: ast.AST) -> set:
@@ -95,15 +101,15 @@ def lint_file(path: Path) -> list:
     used = used_names(tree) | string_forward_refs(tree)
 
     seen: dict = {}
-    for name, node in imported_names(tree):
-        if name in seen and seen[name] != node.lineno:
+    for name, key, node in imported_names(tree):
+        if key in seen and seen[key] != node.lineno:
             findings.append(
                 f"{path}:{node.lineno}: F811 redefinition of imported "
-                f"'{name}' (first at line {seen[name]})"
+                f"'{name}' (first at line {seen[key]})"
             )
-        seen.setdefault(name, node.lineno)
+        seen.setdefault(key, node.lineno)
 
-    for name, node in imported_names(tree):
+    for name, _key, node in imported_names(tree):
         if name == "_":
             continue
         if name not in used and name not in exported:
