@@ -122,6 +122,30 @@ def main() -> None:
     print(f"generate: {dt_gen:.1f}s ({n / dt_gen / 1e6:.1f}M rows/s)",
           flush=True)
 
+    # -- 2b. device-resident encode rate at this shape ------------------------
+    # The kernel's own rate, measured on a resident slice.  This is the
+    # only valid way to quote encode "net of generation": subtracting the
+    # generation-only pass time from the combined pass mixes different
+    # sync/dispatch patterns and can exceed the MXU roofline (the r4
+    # artifact's 67M "net" vs a ~21M bf16 roofline at d=768/m=24/k=256).
+    n_res = min(n, 2 * BATCH)
+    xs_res = r.read(0, n_res)
+    device_sync(xs_res)
+    c_res = encode_batch(pq.codebooks, xs_res)  # warm (compile)
+    device_sync(c_res)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        c_res = encode_batch(pq.codebooks, xs_res)
+    device_sync(c_res)
+    dt_res = (time.perf_counter() - t0) / 3
+    results["encode_device_resident"] = {
+        "rows": n_res, "s": round(dt_res, 4),
+        "rows_per_s": round(n_res / dt_res),
+    }
+    print(f"encode_device_resident: {n_res / dt_res / 1e6:.1f}M vec/s "
+          f"({n_res} rows)", flush=True)
+    del xs_res, c_res
+
     # -- 3. generate + encode the full corpus; codes stay on device ----------
     # Preallocated output + donated in-place writes: holding per-batch code
     # chunks and concatenating at the end doubles the 2.5 GB codes buffer
@@ -145,16 +169,13 @@ def main() -> None:
             jax.block_until_ready(codes)
     device_sync(codes)
     dt = time.perf_counter() - t0
-    # Net-of-generation rate is only meaningful when the combined pass
-    # measurably exceeds the generation-only pass.
-    net = (n / (dt - dt_gen)) if dt > dt_gen * 1.05 else None
     results["encode"] = {
         "rows": n, "s": round(dt, 2), "rows_per_s": round(n / dt),
-        "rows_per_s_net_of_generation": round(net) if net else None,
         "codes_gb": round(codes.size / 1e9, 2),
     }
-    print(f"encode: {dt:.1f}s ({n / dt / 1e6:.1f}M vec/s incl. generation"
-          + (f", {net / 1e6:.1f}M net)" if net else ")"), flush=True)
+    print(f"encode: {dt:.1f}s ({n / dt / 1e6:.1f}M vec/s incl. generation; "
+          f"resident-slice kernel rate in encode_device_resident)",
+          flush=True)
 
     # -- 4. streamed ADC search over all n codes -----------------------------
     qidx = jax.random.randint(jax.random.PRNGKey(9), (args.nq,), 0, n)

@@ -224,7 +224,10 @@ def _assign_coarse(coarse: Array, x: Array, use_kernel: bool) -> Array:
     if use_kernel:
         from .ops.assign import assign_nearest
 
-        return assign_nearest(coarse, x)
+        try:
+            return assign_nearest(coarse, x)
+        except ValueError:
+            pass  # no VMEM-feasible tiling (large C*d): einsum below
     from .kmeans import cluster_assignments
 
     # The einsum fallback materializes an (n, C) distance block; chunk it
@@ -379,6 +382,238 @@ _scatter_updates_donated = jax.jit(_scatter_updates_impl,
                                    donate_argnums=(0, 1, 2))
 
 
+def _build_ivf_device(
+    coarse: Array,
+    pq: Pq,
+    instances,
+    *,
+    capacity,
+    on_overflow: str,
+    dtype,
+    batch: int,
+    use_kernel: bool,
+    packed: bool,
+) -> IvfPq:
+    """Fully device-side cell construction: placement, slot assignment,
+    and the cell scatter never leave HBM.
+
+    The host path (:func:`build_ivf` ``placement="host"``) streams the
+    per-row candidates and codes back for a host scatter — O(n·m) bytes
+    of device-to-host traffic, which through a tunneled chip costs more
+    than the entire compute at 100M rows (~2.5 GB of codes at
+    ~0.011 GB/s).  Here the only host crossings are a handful of scalars
+    plus the (rare) overflow rows:
+
+    1. one assignment pass accumulates each row's nearest cell on device;
+    2. a stable argsort groups rows by cell; ``rank = pos − starts[cell]``
+       numbers each row within its cell — exactly the corpus-order slot
+       numbering of the host greedy pass, so ``capacity=None`` builds are
+       **bit-identical** to the host path;
+    3. the ``(C·L,)`` ``slot_to_row`` map is pure gathers (no TPU scatter
+       anywhere: ``row = order[starts[c] + l]`` where occupied, ``-1``
+       holes elsewhere);
+    4. the encode pass stores ``(n, m)`` codes + norms on device; the
+       final cell tensors are three gathers through ``slot_to_row``.
+
+    Bounded capacity: rows ranked past ``L`` in their nearest cell (the
+    overflow — a few % on k-means++-balanced cells at the default 1.25x
+    provisioning) are compacted on device, and only they take the host
+    spill path (nearest cell with space, re-encoded against the storage
+    cell), scattered back with the :func:`ivf_add` machinery.  Unlike the
+    host greedy pass there is no intermediate "next-A-candidates" tier —
+    in-capacity rows always sit in their TRUE nearest cell (slightly
+    better probe quality), overflow goes straight to nearest-with-space.
+    """
+    is_reader = _is_reader(instances)
+    n, d = (instances.n, instances.dim) if is_reader else instances.shape
+    C = coarse.shape[0]
+    m = pq.quantized_len
+
+    def fetch_slice(off: int, b: int):
+        if is_reader:
+            return jnp.asarray(instances.read(off, min(b, n - off)))
+        return instances[off : off + b]
+
+    import time as _time
+
+    def _mark(stage, t0):
+        if logger.isEnabledFor(logging.INFO):
+            logger.info("IVF device build: %s %.1fs", stage,
+                        _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
+    # Pass 1: nearest cell per row, accumulated on device.  Same
+    # _coarse_topk arithmetic as the host pass (bit-identical argmins).
+    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
+    assign = jnp.zeros((n,), jnp.int32)
+    write1 = jax.jit(
+        lambda buf, off, v: jax.lax.dynamic_update_slice(buf, v, (off,)),
+        donate_argnums=(0,),
+    )
+    for i, off in enumerate(range(0, n, b1)):
+        a = _coarse_topk(fetch_slice(off, b1), coarse, 1)[:, 0]
+        assign = write1(assign, jnp.int32(off), a)
+        if i % 2 == 1:  # bound async-dispatch depth (transient (b, C) f32)
+            jax.block_until_ready(assign)
+    jax.block_until_ready(assign)
+    t0 = _mark("assign pass", t0)
+
+    counts = jnp.bincount(assign, length=C)
+    if capacity is None:
+        L = int(jnp.max(counts))
+    elif capacity == "auto":
+        L = int(np.ceil(1.25 * n / C))
+    else:
+        L = int(capacity)
+
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    order = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    rank = pos - jnp.take(starts, jnp.take(assign, order)).astype(jnp.int32)
+    cap_counts = jnp.minimum(counts, L)
+    n_over = int(n - jnp.sum(cap_counts))
+
+    over_rows = np.empty(0, np.int64)
+    if n_over:
+        if on_overflow == "error":
+            raise ValueError(
+                f"IVF build: {n_over} rows exceed their nearest cell's "
+                f"capacity {L}; raise capacity/n_cells, or use "
+                f'on_overflow="spill"'
+            )
+        if on_overflow == "spill" and C * L - (n - n_over) < n_over:
+            raise ValueError(
+                f"IVF build: total capacity C*L = {C * L} < n = {n}; "
+                f"no spill placement exists — raise capacity"
+            )
+        # Scatter-free compaction of the overflow rows (ascending corpus
+        # order, matching the host pass's spill ordering).
+        neg, _ = jax.lax.top_k(
+            jnp.where(rank >= L, -order, -jnp.int32(n) - 1), n_over
+        )
+        over_rows = np.sort(np.asarray(-neg).astype(np.int64))
+
+    # slot_to_row: pure gathers.  Occupied slot (c, l) holds the l-th row
+    # (in corpus order) assigned to cell c; holes are -1.
+    flat = jnp.arange(C * L, dtype=jnp.int32)
+    flat_c, flat_l = flat // L, flat % L
+    occupied = flat_l < jnp.take(cap_counts, flat_c)
+    src = jnp.take(starts, flat_c).astype(jnp.int32) + flat_l
+    slot_to_row = jnp.where(
+        occupied, jnp.take(order, jnp.clip(src, 0, n - 1)), -1
+    )
+    del order, rank, pos, starts, flat, flat_c, flat_l, src
+    jax.block_until_ready(slot_to_row)
+    t0 = _mark(f"placement (n_over={n_over})", t0)
+
+    # Pass 2: residual encode against the nearest cell; codes/norms stay
+    # on device.
+    mb = m // 2 if packed else m
+    codes_buf = jnp.zeros((n, mb), dtype)
+    norms_buf = jnp.zeros((n,), jnp.float32)
+    write2 = jax.jit(
+        lambda buf, off, v: jax.lax.dynamic_update_slice(
+            buf, v, (off, jnp.zeros((), off.dtype))
+        ),
+        donate_argnums=(0,),
+    )
+    if packed:
+        from .ops.packing import pack_u4_codes
+    for i, off in enumerate(range(0, n, batch)):
+        b = min(batch, n - off)
+        cc = jax.lax.dynamic_slice(assign, (off,), (b,))
+        codes_b, norms_b = _residual_encode_batch(
+            coarse, pq, fetch_slice(off, batch), cc, use_kernel,
+            jnp.dtype(dtype),
+        )
+        if packed:
+            codes_b = pack_u4_codes(codes_b)
+        codes_buf = write2(codes_buf, jnp.int32(off), codes_b)
+        norms_buf = write1(norms_buf, jnp.int32(off), norms_b)
+        if i % 2 == 1:
+            jax.block_until_ready(codes_buf)
+    del assign
+    jax.block_until_ready(codes_buf)
+    t0 = _mark("encode pass", t0)
+
+    rows_c = jnp.clip(slot_to_row, 0, n - 1)
+    cell_codes = jnp.where(
+        occupied[:, None], jnp.take(codes_buf, rows_c, axis=0), 0
+    ).reshape(C, L, mb)
+    cell_ids = slot_to_row.reshape(C, L)
+    cell_norms = jnp.where(
+        occupied, jnp.take(norms_buf, rows_c), 0.0
+    ).reshape(C, L)
+    del codes_buf, norms_buf, slot_to_row, rows_c, occupied
+    jax.block_until_ready(cell_norms)
+    t0 = _mark("cell gather", t0)
+
+    index = IvfPq(
+        coarse_centroids=coarse, pq=pq, cell_codes=cell_codes,
+        cell_ids=cell_ids, cell_norms=cell_norms,
+    )
+    index.dropped_ids = np.empty(0, np.int64)
+
+    if n_over and on_overflow == "drop":
+        index.dropped_ids = over_rows
+        logger.warning(
+            "IVF build: %d rows exceeded their nearest cell's capacity %d "
+            "and were dropped (ids on index.dropped_ids)", n_over, L,
+        )
+    elif n_over:  # spill via the host machinery, scatter back on device
+        def fetch_over(rows: np.ndarray):
+            g = over_rows[rows]
+            if is_reader:
+                return jnp.asarray(_reader_rows(instances, g))
+            return jnp.take(instances, g.astype(np.int32), axis=0)
+
+        fill = np.asarray(cap_counts).astype(np.int64)
+        cell_of = np.full(n_over, -1, np.int64)
+        slot_of = np.full(n_over, -1, np.int64)
+        _spill_place(np.arange(n_over), coarse, fetch_over, C, L, fill,
+                     cell_of, slot_of)
+        codes_parts, norms_parts = [], []
+        for off in range(0, n_over, batch):
+            rows = np.arange(off, min(off + batch, n_over))
+            codes_b, norms_b = _residual_encode_batch(
+                coarse, pq, fetch_over(rows),
+                jnp.asarray(cell_of[rows].astype(np.int32)),
+                use_kernel, jnp.dtype(dtype),
+            )
+            if packed:
+                codes_b = pack_u4_codes(codes_b)
+            codes_parts.append(codes_b)
+            norms_parts.append(norms_b)
+        cell_codes, cell_ids, cell_norms = _scatter_updates_donated(
+            index.cell_codes, index.cell_ids, index.cell_norms,
+            jnp.asarray(cell_of.astype(np.int32)),
+            jnp.asarray(slot_of.astype(np.int32)),
+            jnp.concatenate(codes_parts, axis=0),
+            jnp.asarray(over_rows.astype(np.int32)),
+            jnp.concatenate(norms_parts, axis=0),
+        )
+        index = IvfPq(
+            coarse_centroids=coarse, pq=pq, cell_codes=cell_codes,
+            cell_ids=cell_ids, cell_norms=cell_norms,
+        )
+        index.dropped_ids = np.empty(0, np.int64)
+        jax.block_until_ready(index.cell_norms)
+        t0 = _mark(f"spill ({n_over} rows)", t0)
+        logger.info(
+            "IVF build (device): %d rows spilled to the nearest cell with "
+            "free space", n_over,
+        )
+
+    logger.info(
+        "IVF build (device): %d rows -> %d cells, capacity %d (util %.0f%%)",
+        n, C, L, 100.0 * (n - len(index.dropped_ids)) / (C * L),
+    )
+    return index
+
+
 def build_ivf(
     coarse: Array,
     pq: Pq,
@@ -391,6 +626,7 @@ def build_ivf(
     batch: int = 262_144,
     use_kernel: Optional[bool] = None,
     packed: bool = False,
+    placement: str = "auto",
 ) -> IvfPq:
     """Assign, residual-encode, and scatter the corpus into dense cells.
 
@@ -441,7 +677,27 @@ def build_ivf(
     in-flight (exact nibble arithmetic), so scores are **bit-equal** to
     the unpacked index; :func:`ivf_add`/:func:`ivf_remove` handle packed
     indexes transparently.
+
+    ``placement`` selects where cell construction runs:
+
+    * ``"host"`` — the streaming-scatter path described above (candidate
+      greedy placement over ``overflow_candidates`` cells).
+    * ``"device"`` — :func:`_build_ivf_device`: placement, slot
+      assignment, and the cell scatter never leave HBM; only overflow
+      rows (bounded capacity) touch the host.  O(n·m) device-to-host
+      traffic drops to O(overflow) — the 100M-row build path.  With
+      ``capacity=None`` the result is **bit-identical** to the host
+      path; with bounded capacity, in-capacity rows always sit in their
+      true nearest cell (no next-A-candidates tier).
+    * ``"auto"`` (default) — ``"device"`` on a TPU backend when
+      ``capacity is None`` (where it is bit-identical and strictly
+      faster), ``"host"`` otherwise.
     """
+    if placement not in ("auto", "host", "device"):
+        raise ValueError(
+            f'placement must be "auto", "host", or "device", '
+            f"got {placement!r}"
+        )
     if on_overflow not in ("spill", "error", "drop"):
         raise ValueError(
             f'on_overflow must be "spill", "error", or "drop", '
@@ -456,6 +712,12 @@ def build_ivf(
         n, d = instances.shape
     C = coarse.shape[0]
     m = pq.quantized_len
+    if placement == "auto":
+        placement = (
+            "device"
+            if jax.default_backend() == "tpu" and capacity is None
+            else "host"
+        )
     if packed:
         if pq.n_quantizer_centroids > 16:
             raise ValueError(
@@ -466,6 +728,12 @@ def build_ivf(
             raise ValueError(f"packed=True requires even m, got {m}")
         if jnp.dtype(dtype) != jnp.uint8:
             raise ValueError("packed=True requires dtype=uint8")
+    if placement == "device":
+        return _build_ivf_device(
+            coarse, pq, instances, capacity=capacity,
+            on_overflow=on_overflow, dtype=dtype, batch=batch,
+            use_kernel=use_kernel, packed=packed,
+        )
 
     def fetch_slice(off: int, b: int):
         if is_reader:
@@ -624,6 +892,41 @@ def build_ivf(
     return index
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def _add_fast_gate(cell_ids: Array, assign: Array, L: int):
+    """Device-side placement for an add batch where every new row fits an
+    empty slot of its NEAREST cell (the common streaming case).
+
+    Returns ``(overflow, slot)``: ``overflow`` is true when any cell
+    would exceed its free slots (the caller then falls back to the host
+    greedy/spill path), and ``slot[r]`` is row ``r``'s target empty slot
+    in its nearest cell — the ``rank(r)``-th free slot in ascending slot
+    order (ranks are batch order within each cell, matching
+    :func:`_assign_free_slots`' numbering).  One scalar crosses to the
+    host; everything else stays device-resident, which is what lifts the
+    streaming-churn ceiling (the host path pays ~3 link round trips per
+    batch through a tunneled chip).
+    """
+    C = cell_ids.shape[0]
+    n_new = assign.shape[0]
+    counts_new = jnp.bincount(assign, length=C)
+    fill = jnp.sum(cell_ids >= 0, axis=1)
+    overflow = jnp.any(counts_new > (L - fill))
+    order = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    pos = jnp.arange(n_new, dtype=jnp.int32)
+    starts = jnp.cumsum(counts_new) - counts_new
+    rank_sorted = pos - jnp.take(
+        starts, jnp.take(assign, order)
+    ).astype(jnp.int32)
+    rank = jnp.zeros_like(rank_sorted).at[order].set(rank_sorted)
+    # Ascending free-slot order per cell: stable sort of the occupancy
+    # mask puts empty slots first, lowest index first.
+    free_order = jnp.argsort((cell_ids >= 0).astype(jnp.int32), axis=1,
+                             stable=True)
+    slot = free_order[assign, jnp.minimum(rank, L - 1)].astype(jnp.int32)
+    return overflow, slot
+
+
 def _assign_free_slots(
     cell_of: np.ndarray, slot_of: np.ndarray, cell_ids: Array
 ) -> np.ndarray:
@@ -761,6 +1064,51 @@ def ivf_add(
                 f"(first: {first.tolist()}); ivf_remove them first"
             )
 
+    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
+
+    # Device fast path: when every new row fits an empty slot of its
+    # NEAREST cell (the common streaming case), placement, slot
+    # assignment, encode, and scatter all run on device — the only host
+    # crossing is the one overflow scalar.  Falls back to the greedy/
+    # spill path below otherwise.
+    assign = jnp.concatenate([
+        _coarse_topk(instances[off : off + b1], coarse, 1)[:, 0]
+        for off in range(0, n_new, b1)
+    ])
+    overflow, slot_dev = _add_fast_gate(index.cell_ids, assign, L)
+    if not bool(overflow):
+        codes_parts, norms_parts = [], []
+        for off in range(0, n_new, batch):
+            b = min(batch, n_new - off)
+            codes_b, norms_b = _residual_encode_batch(
+                coarse, index.pq, instances[off : off + b],
+                jax.lax.dynamic_slice(assign, (off,), (b,)),
+                use_kernel, jnp.dtype(dtype),
+            )
+            codes_parts.append(codes_b)
+            norms_parts.append(norms_b)
+        codes_cat = jnp.concatenate(codes_parts, axis=0)
+        if index.packed:
+            from .ops.packing import pack_u4_codes
+
+            codes_cat = pack_u4_codes(codes_cat)
+        scatter = _scatter_updates_donated if donate else _scatter_updates
+        cell_codes, cell_ids_new, cell_norms = scatter(
+            index.cell_codes, index.cell_ids, index.cell_norms,
+            assign.astype(jnp.int32), slot_dev, codes_cat,
+            jnp.asarray(ids.astype(np.int32)),
+            jnp.concatenate(norms_parts, axis=0),
+        )
+        logger.info("IVF add (device fast path): %d rows placed", n_new)
+        out = IvfPq(
+            coarse_centroids=coarse, pq=index.pq, cell_codes=cell_codes,
+            cell_ids=cell_ids_new, cell_norms=cell_norms,
+        )
+        out.dropped_ids = getattr(index, "dropped_ids",
+                                  np.empty(0, np.int64))
+        return out
+    del slot_dev, assign
+
     fill = np.asarray(jnp.sum(index.cell_ids >= 0, axis=1)).astype(np.int64)
     free_total = int(C * L - fill.sum())
     if free_total < n_new and on_overflow != "drop":
@@ -773,7 +1121,6 @@ def ivf_add(
         return jnp.take(instances, rows.astype(np.int32), axis=0)
 
     A = min(overflow_candidates, C)
-    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
     tops = [
         _coarse_topk(instances[off : off + b1], coarse, A)
         for off in range(0, n_new, b1)
@@ -890,6 +1237,14 @@ def ivf_remove(index: IvfPq, ids) -> IvfPq:
     out.dropped_ids = getattr(index, "dropped_ids", np.empty(0, np.int64))
     return out
 
+# Bytes of transient (nq, probes, L, d) f32 reconstruction a single
+# scoring dispatch may materialize; _probe_and_score chunks over probes
+# (and over cell rows when one probe alone exceeds it, e.g. L ~ 50k at
+# d=768).  Module-level so tests can shrink it to exercise the chunked
+# paths at toy sizes.
+_PROBE_RECON_BUDGET = 1 << 30
+
+
 def _probe_and_score(
     queries: Array,
     coarse: Array,
@@ -956,9 +1311,9 @@ def _probe_and_score(
         else queries
     )
 
-    def qdot(codes_chunk):  # (nq, pc, L, mb) -> (nq, pc, L)
-        pc = codes_chunk.shape[1]
-        flat = codes_chunk.reshape(nq * pc * L, mb)
+    def qdot(codes_chunk):  # (nq, pc, lc, mb) -> (nq, pc, lc)
+        pc, lc = codes_chunk.shape[1], codes_chunk.shape[2]
+        flat = codes_chunk.reshape(nq * pc * lc, mb)
         if mb != m:
             # Packed cells: the gather above moved half the bytes; the
             # nibble unpack here is exact, so scores are bit-equal to
@@ -969,25 +1324,58 @@ def _probe_and_score(
         if use_kernel:
             from .ops.decode import pq_decode
 
-            rec = pq_decode(cb, flat, splits=splits)
+            try:
+                rec = pq_decode(cb, flat, splits=splits)
+            except ValueError:
+                # No VMEM-feasible decode tiling at this (m, k, d) —
+                # e.g. m=24, k=256, d=768.  The onehot einsum decode is
+                # the MXU-friendly fallback (gathers are scalar-ish on
+                # TPU); raised at trace time, so the cost is one extra
+                # tiling probe per compile, not per query.
+                from .pq import primitives
+
+                rec = primitives.reconstruct_batch(cb, flat,
+                                                   method="onehot")
         else:
             from .pq import primitives
 
             rec = primitives.reconstruct_batch(cb, flat, method="gather")
         return jnp.einsum(
             "qid,qd->qi",
-            rec.reshape(nq, pc * L, d),
+            rec.reshape(nq, pc * lc, d),
             qr,
             precision="highest",
             preferred_element_type=jnp.float32,
-        ).reshape(nq, pc, L)
+        ).reshape(nq, pc, lc)
 
-    budget = 1 << 30  # bytes of transient reconstruction
+    budget = _PROBE_RECON_BUDGET  # bytes of transient reconstruction
     pc = max(1, min(nprobe, budget // max(1, nq * L * d * 4)))
-    dot = jnp.concatenate(
-        [qdot(codes_g[:, p0 : p0 + pc]) for p0 in range(0, nprobe, pc)],
-        axis=1,
-    )
+    if nq * L * d * 4 <= budget:
+        dot = jnp.concatenate(
+            [qdot(codes_g[:, p0 : p0 + pc]) for p0 in range(0, nprobe, pc)],
+            axis=1,
+        )
+    else:
+        # Even a single probe's (nq, L, d) reconstruction exceeds the
+        # budget (large-capacity cells, e.g. L = 8000 at d=768 with 128
+        # queries): chunk the cell rows too, and run the probes through
+        # ``lax.map`` so the program holds ONE probe's body instead of
+        # nprobe unrolled copies (an unrolled nprobe=64 xL-chunks build
+        # measured 19.8 GB of HLO temps — over HBM by itself).
+        lc = max(1, budget // max(1, nq * d * 4))
+
+        def one_probe(codes_p):  # (nq, L, mb) -> (nq, L)
+            return jnp.concatenate(
+                [
+                    qdot(codes_p[:, None, l0 : l0 + lc])
+                    for l0 in range(0, L, lc)
+                ],
+                axis=2,
+            )[:, 0]
+
+        dot = jnp.moveaxis(
+            jax.lax.map(one_probe, jnp.moveaxis(codes_g, 1, 0)), 0, 1
+        )
 
     if metric == "dot":
         scores = -(qc_g[:, :, None] + dot)

@@ -820,3 +820,142 @@ def test_packed_cells_sharded_search():
     d_s, i_s = ivf_search_sharded(idx_p, q, top_k=5, nprobe=2,
                                   mesh=make_mesh(), use_kernel=False)
     np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_s))
+
+
+def test_device_placement_bit_identical_unbounded():
+    """placement="device" with capacity=None: bit-identical cells to the
+    host path (same _coarse_topk argmins, same corpus-order slot
+    numbering)."""
+    key = jax.random.PRNGKey(55)
+    x = clustered_data(key, n_clusters=8, per=100, d=16)
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    idx_h = build_ivf(coarse, pq, x, use_kernel=False, placement="host")
+    idx_d = build_ivf(coarse, pq, x, use_kernel=False, placement="device",
+                      batch=128)
+    np.testing.assert_array_equal(np.asarray(idx_d.cell_ids),
+                                  np.asarray(idx_h.cell_ids))
+    np.testing.assert_array_equal(np.asarray(idx_d.cell_codes),
+                                  np.asarray(idx_h.cell_codes))
+    np.testing.assert_array_equal(np.asarray(idx_d.cell_norms),
+                                  np.asarray(idx_h.cell_norms))
+    # Packed device build == packed host build.
+    idx_dp = build_ivf(coarse, pq, x, use_kernel=False, placement="device",
+                       packed=True)
+    idx_hp = build_ivf(coarse, pq, x, use_kernel=False, placement="host",
+                       packed=True)
+    np.testing.assert_array_equal(np.asarray(idx_dp.cell_codes),
+                                  np.asarray(idx_hp.cell_codes))
+
+    with pytest.raises(ValueError, match="placement"):
+        build_ivf(coarse, pq, x, use_kernel=False, placement="gpu")
+
+
+def test_device_placement_bounded_spill_invariants():
+    """Bounded device placement: every row stored exactly once, overflow
+    spilled to cells with space, stored codes match the storage cell's
+    residual encoding; on_overflow="drop"/"error" honored."""
+    key = jax.random.PRNGKey(56)
+    x = clustered_data(key, n_clusters=4, per=50, d=8, spread=0.3)
+    n = x.shape[0]
+    coarse, pq = train_ivf_pq(key, x, 4, 2, 3, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, capacity=50, use_kernel=False,
+                      placement="device", batch=64)
+    assert index.dropped_ids.size == 0
+    ids = np.asarray(index.cell_ids)
+    flat = ids[ids >= 0]
+    assert len(flat) == n and len(set(flat.tolist())) == n
+
+    cells, slots = np.nonzero(ids >= 0)
+    rows = ids[cells, slots]
+    res = x[rows] - jnp.take(coarse, cells, axis=0)
+    expect = np.asarray(pq.quantize_batch(res))
+    np.testing.assert_array_equal(
+        np.asarray(index.cell_codes)[cells, slots], expect
+    )
+    # Planted self-queries surface under exact refine (the tiny m=2/k=4
+    # quantizer ties near-identical rows; the refine stage breaks them).
+    q = x[::41][:6]
+    _, i_d = ivf_search(index, q, top_k=3, nprobe=4, use_kernel=False,
+                        refine_with=x, refine_factor=24)
+    assert (np.asarray(i_d)[:, 0] == np.arange(0, n, 41)[:6]).mean() >= 0.8
+
+    with pytest.raises(ValueError, match="capacity"):
+        build_ivf(coarse, pq, x, capacity=40, use_kernel=False,
+                  placement="device", on_overflow="error")
+    with pytest.raises(ValueError, match="no spill placement"):
+        build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                  placement="device")
+    idx_drop = build_ivf(coarse, pq, x, capacity=10, use_kernel=False,
+                         placement="device", on_overflow="drop")
+    ids2 = np.asarray(idx_drop.cell_ids)
+    placed = ids2[ids2 >= 0]
+    assert idx_drop.dropped_ids.size == n - len(placed) > 0
+    assert (sorted(placed.tolist() + idx_drop.dropped_ids.tolist())
+            == list(range(n)))
+
+
+def test_probe_chunking_matches_unchunked(monkeypatch):
+    """Shrinking the probe reconstruction budget to force both chunked
+    paths (over probes, then over cell rows) leaves results identical."""
+    from reductive_tpu import ivf as ivf_mod
+
+    key = jax.random.PRNGKey(57)
+    x = clustered_data(key, n_clusters=8, per=100, d=16)
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, use_kernel=False)
+    q = x[::29][:5]
+    d_ref, i_ref = ivf_search(index, q, top_k=5, nprobe=4, use_kernel=False)
+
+    # Force probe chunking (pc < nprobe) but one probe still fits.
+    nq, L, d = 5, index.capacity, x.shape[1]
+    monkeypatch.setattr(ivf_mod, "_PROBE_RECON_BUDGET", nq * L * d * 4)
+    ivf_mod._ivf_search_jit.clear_cache()
+    d_pc, i_pc = ivf_search(index, q, top_k=5, nprobe=4, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i_pc), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(d_pc), np.asarray(d_ref))
+
+    # Force cell-row chunking (a single probe exceeds the budget).
+    monkeypatch.setattr(ivf_mod, "_PROBE_RECON_BUDGET",
+                        max(1, nq * (L // 3) * d * 4))
+    ivf_mod._ivf_search_jit.clear_cache()
+    d_lc, i_lc = ivf_search(index, q, top_k=5, nprobe=4, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(i_lc), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(d_lc), np.asarray(d_ref))
+    ivf_mod._ivf_search_jit.clear_cache()
+
+
+def test_ivf_add_fast_path_matches_host_path(monkeypatch):
+    """The device fast path (every new row fits its nearest cell) places
+    rows identically to the host greedy path."""
+    from reductive_tpu import ivf as ivf_mod
+    from reductive_tpu.ivf import ivf_add, ivf_remove
+
+    key = jax.random.PRNGKey(58)
+    x = clustered_data(key, n_clusters=8, per=60, d=16)
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    index = build_ivf(coarse, pq, x, capacity="auto", use_kernel=False)
+    index = ivf_remove(index, np.arange(0, x.shape[0], 7))
+    x_new = clustered_data(jax.random.PRNGKey(59), n_clusters=8, per=3,
+                           d=16)
+
+    idx_fast = ivf_add(index, x_new, ids=np.arange(9000, 9000 + 24),
+                       use_kernel=False)
+    # Force the legacy host path and compare.
+    real_gate = ivf_mod._add_fast_gate
+    monkeypatch.setattr(
+        ivf_mod, "_add_fast_gate",
+        lambda cell_ids, assign, L: (jnp.asarray(True),
+                                     real_gate(cell_ids, assign, L)[1]),
+    )
+    idx_host = ivf_add(index, x_new, ids=np.arange(9000, 9000 + 24),
+                       use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(idx_fast.cell_ids),
+                                  np.asarray(idx_host.cell_ids))
+    np.testing.assert_array_equal(np.asarray(idx_fast.cell_codes),
+                                  np.asarray(idx_host.cell_codes))
+    np.testing.assert_array_equal(np.asarray(idx_fast.cell_norms),
+                                  np.asarray(idx_host.cell_norms))
