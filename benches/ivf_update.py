@@ -25,6 +25,11 @@ Usage: python benches/ivf_update.py [--n 10000000] [--cells 4096]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

@@ -15,6 +15,11 @@ Usage: python benches/profile_verified.py [--n 1048576] [--caps 1/16 ...]
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import functools
 import json

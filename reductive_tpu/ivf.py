@@ -260,12 +260,39 @@ def _reader_rows(reader, rows: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("A",))
 def _coarse_topk(xb: Array, coarse: Array, A: int) -> Array:
     """Indices of the ``A`` nearest coarse centroids per row (fused under
-    jit so the distance temporaries never outlive the call)."""
+    jit so the distance temporaries never outlive the call).  ``A == 1``
+    lowers to argmin — same first-index tie-break as ``top_k``, and
+    several-fold cheaper to compile and run at large ``(n, C)``."""
     from .linalg import squared_euclidean_distance
 
     d2 = squared_euclidean_distance(xb, coarse)
+    if A == 1:
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
     _, top = jax.lax.top_k(-d2, A)
     return top
+
+
+@functools.partial(jax.jit, static_argnames=("inner",))
+def _assign_block(xb: Array, coarse: Array, inner: int) -> Array:
+    """Nearest coarse cell for one large batch, chunked internally with
+    ``lax.map`` so the ``(inner, C)`` distance transient stays bounded —
+    ONE device dispatch per megarow batch instead of thousands of tiny
+    host-driven calls (each costing a tunnel round trip at large C,
+    where the transient cap would otherwise shrink the batch to ~16k
+    rows)."""
+    b, d = xb.shape
+    main = (b // inner) * inner
+    out = []
+    if main:
+        out.append(
+            jax.lax.map(
+                lambda xc: _coarse_topk(xc, coarse, 1)[:, 0],
+                xb[:main].reshape(-1, inner, d),
+            ).reshape(-1)
+        )
+    if main < b:
+        out.append(_coarse_topk(xb[main:], coarse, 1)[:, 0])
+    return out[0] if len(out) == 1 else jnp.concatenate(out)
 
 
 def _greedy_place(
@@ -337,6 +364,75 @@ def _spill_place(
         cell_of[remaining[ok]] = cell_sp[ok]
         slot_of[remaining[ok]] = slot_sp[ok]
         remaining = remaining[~ok]
+
+
+def _respill_device(
+    over_rows: np.ndarray,
+    coarse: Array,
+    fetch_rows,
+    C: int,
+    L: int,
+    fill: np.ndarray,
+    cell_of: np.ndarray,
+    slot_of: np.ndarray,
+    rounds: int = 4,
+) -> np.ndarray:
+    """Device-side rounds of nearest-cell-with-space placement for the
+    bounded-capacity overflow.
+
+    The host greedy pass (:func:`_spill_place`) walks rows one at a time
+    with per-batch device round trips — measured 4.6k rows/s through a
+    tunneled chip when a skewed corpus overflows 30% of rows.  Each round
+    here is pure device work over ALL still-unplaced rows: distances to
+    the coarse centroids with full cells masked to ``+inf`` (the same
+    nearest-cell-with-space target as the host pass), then a stable
+    argsort groups rows by target so ``rank = pos - starts[target]``
+    hands out the cell's remaining slots in corpus order — exactly the
+    priority the host greedy would give.  A row loses its slot only when
+    same-round earlier rows fill the target; it retries next round
+    against the updated occupancy.  Rows still homeless after ``rounds``
+    (pathological skew) fall back to the host pass.  Mutates
+    ``fill``/``cell_of``/``slot_of``; returns the unplaced remainder."""
+    from .linalg import squared_euclidean_distance
+
+    remaining = over_rows
+    for _ in range(rounds):
+        if not len(remaining):
+            break
+        n_u = len(remaining)
+        fill_d = jnp.asarray(fill.astype(np.int32))
+        free = jnp.int32(L) - fill_d  # (C,)
+        b2 = max(4096, (1 << 26) // max(1, C))
+        parts = []
+        for off in range(0, n_u, b2):
+            xs = fetch_rows(remaining[off : off + b2])
+            d2 = squared_euclidean_distance(xs, coarse)
+            d2 = jnp.where(free[None, :] > 0, d2, jnp.inf)
+            parts.append(jnp.argmin(d2, axis=1).astype(jnp.int32))
+        targets = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        order_u = jnp.argsort(targets, stable=True)
+        t_sorted = jnp.take(targets, order_u)
+        counts_u = jnp.bincount(targets, length=C)
+        starts_u = jnp.concatenate(
+            [jnp.zeros((1,), counts_u.dtype), jnp.cumsum(counts_u)[:-1]]
+        )
+        rank_sorted = (
+            jnp.arange(n_u, dtype=jnp.int32)
+            - jnp.take(starts_u, t_sorted).astype(jnp.int32)
+        )
+        inv = jnp.argsort(order_u)
+        rank = jnp.take(rank_sorted, inv)
+        accept = rank < jnp.take(free, targets)
+        slot = jnp.take(fill_d, targets) + rank
+        acc = np.asarray(accept)
+        cell_np = np.asarray(targets).astype(np.int64)
+        slot_np = np.asarray(slot).astype(np.int64)
+        cell_of[remaining[acc]] = cell_np[acc]
+        slot_of[remaining[acc]] = slot_np[acc]
+        placed = np.bincount(cell_np[acc], minlength=C)
+        fill += placed.astype(fill.dtype)
+        remaining = remaining[~acc]
+    return remaining
 
 
 @functools.partial(jax.jit, static_argnames=("use_kernel", "out_dtype"))
@@ -445,16 +541,20 @@ def _build_ivf_device(
     t0 = _time.perf_counter()
     # Pass 1: nearest cell per row, accumulated on device.  Same
     # _coarse_topk arithmetic as the host pass (bit-identical argmins).
-    b1 = max(8192, min(batch, (1 << 28) // max(1, C)))
+    # Full `batch`-row dispatches with lax.map chunking inside: at large
+    # C the (rows, C) transient cap must not shrink the HOST batch (a
+    # 16k-row batch at C=16384 means 6400 dispatches and 3200 tunnel
+    # round trips over 100M rows).
+    inner = max(4096, min(batch, (1 << 26) // max(1, C)))
     assign = jnp.zeros((n,), jnp.int32)
     write1 = jax.jit(
         lambda buf, off, v: jax.lax.dynamic_update_slice(buf, v, (off,)),
         donate_argnums=(0,),
     )
-    for i, off in enumerate(range(0, n, b1)):
-        a = _coarse_topk(fetch_slice(off, b1), coarse, 1)[:, 0]
+    for i, off in enumerate(range(0, n, batch)):
+        a = _assign_block(fetch_slice(off, batch), coarse, inner)
         assign = write1(assign, jnp.int32(off), a)
-        if i % 2 == 1:  # bound async-dispatch depth (transient (b, C) f32)
+        if i % 2 == 1:  # bound async-dispatch depth (transient gen batch)
             jax.block_until_ready(assign)
     jax.block_until_ready(assign)
     t0 = _mark("assign pass", t0)
@@ -489,12 +589,14 @@ def _build_ivf_device(
                 f"IVF build: total capacity C*L = {C * L} < n = {n}; "
                 f"no spill placement exists — raise capacity"
             )
-        # Scatter-free compaction of the overflow rows (ascending corpus
-        # order, matching the host pass's spill ordering).
-        neg, _ = jax.lax.top_k(
-            jnp.where(rank >= L, -order, -jnp.int32(n) - 1), n_over
-        )
-        over_rows = np.sort(np.asarray(-neg).astype(np.int64))
+        # Scatter-free compaction of the overflow rows: sort the masked
+        # row ids (pads land at the tail) — a plain sort, where a
+        # top_k with k = n_over compiled and ran far slower at large
+        # overflow counts.  Ascending corpus order matches the host
+        # pass's spill ordering.
+        over_rows = np.asarray(
+            jnp.sort(jnp.where(rank >= L, order, jnp.int32(n)))[:n_over]
+        ).astype(np.int64)
 
     # slot_to_row: pure gathers.  Occupied slot (c, l) holds the l-th row
     # (in corpus order) assigned to cell c; holes are -1.
@@ -571,10 +673,26 @@ def _build_ivf_device(
             return jnp.take(instances, g.astype(np.int32), axis=0)
 
         fill = np.asarray(cap_counts).astype(np.int64)
+        # cell_of/slot_of are indexed by position within over_rows; the
+        # device rounds and the host fallback share them.
         cell_of = np.full(n_over, -1, np.int64)
         slot_of = np.full(n_over, -1, np.int64)
-        _spill_place(np.arange(n_over), coarse, fetch_over, C, L, fill,
-                     cell_of, slot_of)
+
+        def fetch_rows_global(rows: np.ndarray):
+            if is_reader:
+                return jnp.asarray(_reader_rows(instances, rows))
+            return jnp.take(instances, rows.astype(np.int32), axis=0)
+
+        # Device rounds place (nearly) everything; positions map through
+        # over_rows because _respill_device wants corpus rows to fetch.
+        pos_left = _respill_device(
+            np.arange(n_over), coarse,
+            lambda p: fetch_rows_global(over_rows[p]), C, L, fill,
+            cell_of, slot_of,
+        )
+        if len(pos_left):
+            _spill_place(pos_left, coarse, fetch_over, C, L, fill,
+                         cell_of, slot_of)
         codes_parts, norms_parts = [], []
         for off in range(0, n_over, batch):
             rows = np.arange(off, min(off + batch, n_over))
@@ -1244,6 +1362,152 @@ def ivf_remove(index: IvfPq, ids) -> IvfPq:
 # paths at toy sizes.
 _PROBE_RECON_BUDGET = 1 << 30
 
+# Bytes of transient (nq, cells_per_chunk * L) f32 scores one LUT-path
+# scoring chunk may materialize.  Module-level so tests can shrink it to
+# exercise the multi-chunk union scan at toy sizes.
+_PROBE_LUT_BUDGET = 1 << 28
+# Tests flip this to run the LUT path's Pallas scorer in interpret mode
+# on CPU (the suite's virtual mesh has no Mosaic backend).
+_PROBE_LUT_INTERPRET = False
+
+
+def _probe_and_score_lut(
+    queries: Array,
+    coarse: Array,
+    cell_codes: Array,
+    cell_ids: Array,
+    cell_norms: Array,
+    pq: Pq,
+    nprobe: int,
+    top_k: int,
+    splits,
+    metric: str = "l2",
+) -> Tuple[Array, Array]:
+    """Union-of-cells LUT (ADC) probe scoring: returns the final
+    ``(dists, ids)`` of shape ``(nq, top_k)`` directly.
+
+    The decode path (:func:`_probe_and_score`) reconstructs every
+    gathered candidate to ``d`` floats — ``nq * nprobe * L * d * 4``
+    bytes of transients plus a ``(rows, m*kp) @ (m*kp, d)`` decode
+    matmul, which at d=768/L=8000/nq=128 is tens of GB and ~100 TFLOP
+    per batch.  Classic IVFADC replaces the decode with per-query lookup
+    tables (Jégou et al., 2011, Eq. 13): ``q.rec = sum_j T[q, j,
+    code_j]``.  On TPU the table lookup IS the fused multihot matmul of
+    :func:`reductive_tpu.ops.adc.adc_scores_kernel` — but that kernel
+    amortizes each code row's multihot over *all* query columns, so
+    per-query gathered candidates would waste it.  Instead the **union**
+    of probed cells is scored once against every query (queries probing
+    the same cell share its rows — a mini exhaustive scan over the
+    ``<= min(nq * nprobe, C)`` distinct probed cells), and each query
+    masks cells it did not probe before a running top-k merge.  Work is
+    ``U * L`` rows instead of the decode path's ``nq * nprobe * L`` —
+    *fewer* scored rows whenever probe sets overlap — at the exhaustive
+    kernel's pairs/s instead of the decode path's reconstruction rate.
+
+    The union is built scatter-free (sort + neighbor-dedup + ``top_k``
+    compaction to the static ``U`` cap) and scanned in cell chunks whose
+    ``(nq, cells * L)`` score transient stays under
+    ``_PROBE_LUT_BUDGET``.  ``splits`` carries the kernel's table-split
+    accuracy (2 ~ 2^-18 relative — ranking-safe); the decode path
+    remains the exact-scoring mode.
+    """
+    from .ops.adc import adc_scores_kernel
+    from .search import adc_tables
+
+    C, L, mb = cell_codes.shape
+    m = pq.quantized_len
+    nq = queries.shape[0]
+
+    qc = jnp.dot(queries, coarse.T, precision="highest")  # (nq, C)
+    if metric == "dot":
+        score_c = qc
+        q_sqn = None
+    else:
+        q_sqn = jnp.sum(queries * queries, axis=1)  # (nq,)
+        c_sqn = jnp.sum(coarse * coarse, axis=1)
+        score_c = -(q_sqn[:, None] + c_sqn[None, :] - 2.0 * qc)
+    _, probe = jax.lax.top_k(score_c, nprobe)  # (nq, np)
+
+    # Distinct probed cells, compacted to the static cap U (ascending;
+    # pads hold C + 1, which never equals a probe and clips for gathers).
+    U = min(nq * nprobe, C)
+    p = jnp.sort(probe.reshape(-1))
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), p[1:] != p[:-1]]
+    )
+    neg, _ = jax.lax.top_k(
+        jnp.where(first, -p, -jnp.int32(C) - 1), U
+    )
+    cells_u = -neg  # unique ascending, then C + 1 padding
+
+    # -<q, rec> tables in the residual PQ's (possibly rotated) space;
+    # the orthonormal projection preserves inner products.
+    tables = adc_tables(pq, queries, metric="dot")  # (nq, m, k)
+
+    cc = max(1, min(U, _PROBE_LUT_BUDGET // (4 * max(nq, 1) * L)))
+    rounds = -(-U // cc)
+    pad = rounds * cc - U
+    cells_sc = jnp.concatenate(
+        [cells_u, jnp.full((pad,), C + 1, cells_u.dtype)]
+    ).reshape(rounds, cc)
+    K = min(top_k, U * L)
+    packed = mb != m
+
+    def body(carry, cu):
+        best_negd, best_idx = carry
+        cuc = jnp.clip(cu, 0, C - 1)
+        codes_c = jnp.take(cell_codes, cuc, axis=0).reshape(cc * L, mb)
+        ids_c = jnp.take(cell_ids, cuc, axis=0).reshape(cc * L)
+        norms_c = jnp.take(cell_norms, cuc, axis=0).reshape(cc * L)
+        raw = adc_scores_kernel(
+            tables, codes_c, splits=splits, packed=packed,
+            interpret=_PROBE_LUT_INTERPRET,
+        )  # (nq, cc*L) = -<q, rec>
+        qc_c = jnp.take(qc, cuc, axis=1)  # (nq, cc)
+        if metric == "dot":
+            sc = raw.reshape(nq, cc, L) - qc_c[:, :, None]
+        else:
+            sc = (
+                q_sqn[:, None, None]
+                + norms_c.reshape(1, cc, L)
+                + 2.0 * raw.reshape(nq, cc, L)
+                - 2.0 * qc_c[:, :, None]
+            )
+        # Padded cells (cu == C + 1) never match a probe, so the probed
+        # mask silences them along with cells this query did not ask for.
+        probed = jnp.any(
+            probe[:, :, None] == cu[None, None, :], axis=1
+        )  # (nq, cc)
+        mask = probed[:, :, None] & (ids_c.reshape(1, cc, L) >= 0)
+        sc = jnp.where(mask, sc, jnp.inf).reshape(nq, cc * L)
+        negd, pos = jax.lax.top_k(-sc, min(K, cc * L))
+        idx = jnp.take(ids_c, pos)  # (nq, K) gather of shared flat ids
+        cat_negd = jnp.concatenate([best_negd, negd], axis=1)
+        cat_idx = jnp.concatenate([best_idx, idx], axis=1)
+        new_negd, sel = jax.lax.top_k(cat_negd, K)
+        new_idx = jnp.take_along_axis(cat_idx, sel, axis=1)
+        return (new_negd, new_idx), None
+
+    # Score dtype follows the inputs (f64 queries under x64 keep f64
+    # coarse terms around the kernel's f32 table sums).
+    st = jnp.result_type(queries.dtype, coarse.dtype, jnp.float32)
+    init = (
+        jnp.full((nq, K), -jnp.inf, st),
+        jnp.full((nq, K), -1, cell_ids.dtype),
+    )
+    (best_negd, best_idx), _ = jax.lax.scan(body, init, cells_sc)
+    dists = -best_negd
+    ids = jnp.where(jnp.isfinite(dists), best_idx, -1)
+    if K < top_k:
+        padk = top_k - K
+        dists = jnp.concatenate(
+            [dists, jnp.full((nq, padk), jnp.inf, dists.dtype)], axis=1
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.full((nq, padk), -1, ids.dtype)], axis=1
+        )
+    return dists, ids
+
 
 def _probe_and_score(
     queries: Array,
@@ -1414,6 +1678,15 @@ def _ivf_search_jit(
     index: IvfPq, queries: Array, top_k: int, nprobe: int,
     use_kernel: bool, splits, metric: str = "l2",
 ) -> Tuple[Array, Array]:
+    if use_kernel:
+        try:
+            return _probe_and_score_lut(
+                queries, index.coarse_centroids, index.cell_codes,
+                index.cell_ids, index.cell_norms, index.pq, nprobe, top_k,
+                splits, metric,
+            )
+        except ValueError:
+            pass  # no feasible ADC-kernel tiling at this (nq, m, k)
     flat_scores, flat_ids = _probe_and_score(
         queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
         index.cell_norms, index.pq, nprobe, use_kernel, splits, metric,

@@ -959,3 +959,114 @@ def test_ivf_add_fast_path_matches_host_path(monkeypatch):
                                   np.asarray(idx_host.cell_codes))
     np.testing.assert_array_equal(np.asarray(idx_fast.cell_norms),
                                   np.asarray(idx_host.cell_norms))
+
+
+def test_lut_probe_scoring_matches_decode_path(monkeypatch):
+    """The TPU LUT (union-of-cells ADC kernel) probe path returns the
+    same neighbors and distances as the exact decode path — including a
+    multi-chunk union scan, dot metric, packed cells, and top_k padding
+    past the probed candidate count."""
+    from reductive_tpu import ivf as ivf_mod
+    from reductive_tpu.ivf import _probe_and_score_lut
+
+    monkeypatch.setattr(ivf_mod, "_PROBE_LUT_INTERPRET", True)
+    key = jax.random.PRNGKey(71)
+    x = clustered_data(key, n_clusters=12, per=80, d=16)
+    coarse, pq = train_ivf_pq(key, x, 12, 4, 4, use_kernel=False,
+                              train_sample=None)
+
+    for packed in (False, True):
+        index = build_ivf(coarse, pq, x, capacity="auto",
+                          use_kernel=False, packed=packed)
+        queries = x[::41][:7] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(72), (7, x.shape[1]))
+        for metric in ("l2", "dot"):
+            d_ref, i_ref = ivf_search(index, queries, top_k=5, nprobe=4,
+                                      use_kernel=False, metric=metric)
+            d_lut, i_lut = _probe_and_score_lut(
+                queries, index.coarse_centroids, index.cell_codes,
+                index.cell_ids, index.cell_norms, index.pq, 4, 5,
+                3, metric)
+            np.testing.assert_array_equal(np.asarray(i_lut),
+                                          np.asarray(i_ref))
+            np.testing.assert_allclose(np.asarray(d_lut),
+                                       np.asarray(d_ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    # Multi-chunk union scan (budget forces >1 cell per scan round).
+    index = build_ivf(coarse, pq, x, capacity="auto", use_kernel=False)
+    queries = x[::29][:9] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(73), (9, x.shape[1]))
+    one = _probe_and_score_lut(
+        queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
+        index.cell_norms, index.pq, 6, 8, 3, "l2")
+    monkeypatch.setattr(ivf_mod, "_PROBE_LUT_BUDGET",
+                        4 * queries.shape[0] * index.capacity)  # 1 cell/chunk
+    many = _probe_and_score_lut(
+        queries, index.coarse_centroids, index.cell_codes, index.cell_ids,
+        index.cell_norms, index.pq, 6, 8, 3, "l2")
+    np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(many[1]))
+    np.testing.assert_allclose(np.asarray(one[0]), np.asarray(many[0]),
+                               rtol=1e-6)
+
+    # top_k beyond the probed candidate pool pads with +inf / -1.
+    small = build_ivf(coarse, pq, x[:24], capacity=4, use_kernel=False,
+                      on_overflow="drop")
+    d_pad, i_pad = _probe_and_score_lut(
+        queries[:3], small.coarse_centroids, small.cell_codes,
+        small.cell_ids, small.cell_norms, small.pq, 1, 10, 3, "l2")
+    assert d_pad.shape == (3, 10) and i_pad.shape == (3, 10)
+    pad_mask = ~np.isfinite(np.asarray(d_pad))
+    assert pad_mask.any()
+    assert (np.asarray(i_pad)[pad_mask] == -1).all()
+
+
+def test_device_placement_bounded_respill():
+    """placement="device" with a tight capacity: the device respill
+    rounds place every overflow row in a cell with space (no drops), no
+    cell exceeds L, stored codes are residual encodings against the
+    STORAGE cell, and in-capacity rows still sit in their true nearest
+    cell."""
+    key = jax.random.PRNGKey(83)
+    # Skewed cells: clustered data with C much smaller than the cluster
+    # count forces real overflow.
+    x = clustered_data(key, n_clusters=24, per=50, d=16)
+    n = x.shape[0]
+    coarse, pq = train_ivf_pq(key, x, 8, 4, 4, use_kernel=False,
+                              train_sample=None)
+    L = int(np.ceil(1.15 * n / 8))
+    index = build_ivf(coarse, pq, x, capacity=L, use_kernel=False,
+                      placement="device", on_overflow="spill")
+
+    ids = np.asarray(index.cell_ids)
+    valid = ids >= 0
+    flat = ids[valid]
+    assert index.dropped_ids.size == 0
+    assert len(flat) == n and len(set(flat.tolist())) == n
+    assert index.capacity == L
+
+    # Every stored code is the residual encoding against its storage
+    # cell (spilled rows re-encode against the spill target).
+    from reductive_tpu.kmeans import cluster_assignments
+
+    cell_of_row = np.full(n, -1)
+    for c in range(ids.shape[0]):
+        for l_ in range(ids.shape[1]):
+            if ids[c, l_] >= 0:
+                cell_of_row[ids[c, l_]] = c
+    rows = np.arange(n)[::17]
+    res = x[rows] - jnp.take(coarse, cell_of_row[rows], axis=0)
+    expect = np.asarray(pq.quantize_batch(res))
+    by_row = {int(ids[c, l_]): np.asarray(index.cell_codes)[c, l_]
+              for c in range(ids.shape[0]) for l_ in range(ids.shape[1])
+              if ids[c, l_] >= 0}
+    got = np.stack([by_row[int(r_)] for r_ in rows])
+    np.testing.assert_array_equal(got, expect)
+
+    # Rows in non-full cells are in their TRUE nearest cell.
+    nearest = np.asarray(cluster_assignments(coarse, x))
+    counts = np.bincount(nearest, minlength=8)
+    for r_ in rows:
+        c = cell_of_row[r_]
+        if counts[nearest[r_]] <= L:
+            assert c == nearest[r_]
