@@ -367,72 +367,150 @@ def _spill_place(
 
 
 def _respill_device(
-    over_rows: np.ndarray,
+    positions: np.ndarray,
     coarse: Array,
     fetch_rows,
     C: int,
     L: int,
     fill: np.ndarray,
-    cell_of: np.ndarray,
-    slot_of: np.ndarray,
-    rounds: int = 4,
-) -> np.ndarray:
-    """Device-side rounds of nearest-cell-with-space placement for the
-    bounded-capacity overflow.
+    rounds: int = 64,
+) -> Tuple[Array, Array, np.ndarray]:
+    """Device-side nearest-cell-with-space placement for the bounded-
+    capacity overflow.  Returns ``(cell, slot, remaining)`` where
+    ``cell``/``slot`` are DEVICE int32 arrays aligned with ``positions``
+    (``-1`` where unplaced) and ``remaining`` is the (normally empty)
+    unplaced subset of ``positions`` for the host fallback.  Mutates
+    ``fill`` to the post-placement occupancy.
 
-    The host greedy pass (:func:`_spill_place`) walks rows one at a time
-    with per-batch device round trips — measured 4.6k rows/s through a
-    tunneled chip when a skewed corpus overflows 30% of rows.  Each round
-    here is pure device work over ALL still-unplaced rows: distances to
-    the coarse centroids with full cells masked to ``+inf`` (the same
-    nearest-cell-with-space target as the host pass), then a stable
-    argsort groups rows by target so ``rank = pos - starts[target]``
-    hands out the cell's remaining slots in corpus order — exactly the
-    priority the host greedy would give.  A row loses its slot only when
-    same-round earlier rows fill the target; it retries next round
-    against the updated occupancy.  Rows still homeless after ``rounds``
-    (pathological skew) fall back to the host pass.  Mutates
-    ``fill``/``cell_of``/``slot_of``; returns the unplaced remainder."""
-    from .linalg import squared_euclidean_distance
+    Two earlier designs motivated this one.  The host greedy pass
+    (:func:`_spill_place`) walks candidate ranks with per-batch device
+    round trips — measured 4.6k rows/s through a tunneled chip when a
+    skewed corpus overflows 30% of its rows.  The first device version
+    recomputed full ``(rows, C)`` distances each round over the
+    SHRINKING remainder: every round's new shapes recompiled the whole
+    round program, and per-round numpy transfers of the placement state
+    paid the host link again (240 s for a 336k-row spill).  Here the
+    loop state (occupancy, placed cell/slot) lives on device with STATIC
+    shapes — one compiled round program serves every round, and the host
+    sees one scalar (rows left) per round:
 
-    remaining = over_rows
-    for _ in range(rounds):
-        if not len(remaining):
-            break
-        n_u = len(remaining)
-        fill_d = jnp.asarray(fill.astype(np.int32))
-        free = jnp.int32(L) - fill_d  # (C,)
-        b2 = max(4096, (1 << 26) // max(1, C))
+    1. one batched pass caches each overflow row's ``T`` nearest cells
+       (``T`` sized so the cache stays ~1 GB even at a 30M-row spill);
+    2. each round, a row targets its first cached candidate with free
+       space; a stable argsort groups contenders so ``rank = pos -
+       starts[target]`` hands out the cell's remaining slots in corpus
+       order (the host greedy's priority); losers retry next round
+       against the updated occupancy;
+    3. when every remaining row's cached candidates are full (no
+       progress), candidates are re-drawn against only the cells that
+       still have space — the same target set as the host pass — and the
+       rounds continue.  Total free capacity >= remaining rows (checked
+       by the caller), so each redraw epoch strictly places rows and the
+       loop terminates."""
+    P = len(positions)
+    pc = jnp.full((max(P, 1),), -1, jnp.int32)
+    ps = jnp.full((max(P, 1),), -1, jnp.int32)
+    if not P:
+        return pc[:0], ps[:0], positions
+    T = int(min(C, max(4, (1 << 28) // max(P, 1)), 16))
+
+    def draw_candidates(idx: np.ndarray, cells: Optional[np.ndarray]):
+        """Top-T nearest (space-)cells for ``positions[idx]``, batched."""
+        pos = positions[idx]
+        if cells is None:
+            sub, n_sub = coarse, C
+        else:
+            cells_d = jnp.asarray(cells.astype(np.int32))
+            sub, n_sub = jnp.take(coarse, cells_d, axis=0), len(cells)
+        t = int(min(T, n_sub))
+        b2 = max(4096, (1 << 26) // max(1, n_sub))
         parts = []
-        for off in range(0, n_u, b2):
-            xs = fetch_rows(remaining[off : off + b2])
-            d2 = squared_euclidean_distance(xs, coarse)
-            d2 = jnp.where(free[None, :] > 0, d2, jnp.inf)
-            parts.append(jnp.argmin(d2, axis=1).astype(jnp.int32))
-        targets = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        order_u = jnp.argsort(targets, stable=True)
-        t_sorted = jnp.take(targets, order_u)
-        counts_u = jnp.bincount(targets, length=C)
-        starts_u = jnp.concatenate(
-            [jnp.zeros((1,), counts_u.dtype), jnp.cumsum(counts_u)[:-1]]
+        for off in range(0, len(pos), b2):
+            parts.append(
+                _coarse_topk(fetch_rows(pos[off : off + b2]), sub, t)
+            )
+        cand = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if cells is not None:
+            cand = jnp.take(cells_d, cand)
+        if t < T:  # pad to the static width; sentinel C reads free == 0
+            cand = jnp.concatenate(
+                [cand, jnp.full((len(pos), T - t), C, cand.dtype)], axis=1
+            )
+        return cand.astype(jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def one_round(fill_d, pc, ps, cand):
+        # free carries a sentinel 0 at index C: padded candidates and
+        # parked targets never claim a slot.
+        free = jnp.concatenate(
+            [jnp.int32(L) - fill_d, jnp.zeros((1,), jnp.int32)]
+        )
+        ok = jnp.take(free, cand) > 0  # (P, T)
+        has = jnp.any(ok, axis=1) & (pc < 0)
+        first = jnp.argmax(ok, axis=1)
+        tgt = jnp.where(
+            has,
+            jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0],
+            jnp.int32(C),
+        )
+        order = jnp.argsort(tgt, stable=True)  # parked rows sort last
+        t_sorted = jnp.take(tgt, order)
+        counts = jnp.bincount(tgt, length=C)
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
         )
         rank_sorted = (
-            jnp.arange(n_u, dtype=jnp.int32)
-            - jnp.take(starts_u, t_sorted).astype(jnp.int32)
+            jnp.arange(P, dtype=jnp.int32)
+            - jnp.take(starts, jnp.clip(t_sorted, 0, C - 1)).astype(
+                jnp.int32
+            )
         )
-        inv = jnp.argsort(order_u)
-        rank = jnp.take(rank_sorted, inv)
-        accept = rank < jnp.take(free, targets)
-        slot = jnp.take(fill_d, targets) + rank
-        acc = np.asarray(accept)
-        cell_np = np.asarray(targets).astype(np.int64)
-        slot_np = np.asarray(slot).astype(np.int64)
-        cell_of[remaining[acc]] = cell_np[acc]
-        slot_of[remaining[acc]] = slot_np[acc]
-        placed = np.bincount(cell_np[acc], minlength=C)
-        fill += placed.astype(fill.dtype)
-        remaining = remaining[~acc]
-    return remaining
+        rank = jnp.take(rank_sorted, jnp.argsort(order))
+        accept = has & (rank < jnp.take(free, tgt))
+        tgt_c = jnp.clip(tgt, 0, C - 1)
+        slot = jnp.take(fill_d, tgt_c) + rank
+        pc = jnp.where(accept, tgt, pc)
+        ps = jnp.where(accept, slot, ps)
+        placed = jnp.bincount(
+            jnp.where(accept, tgt, jnp.int32(C)), length=C
+        )
+        fill_d = fill_d + placed.astype(fill_d.dtype)
+        return fill_d, pc, ps, jnp.sum(pc < 0)
+
+    fill_d = jnp.asarray(fill.astype(np.int32))
+    cand = draw_candidates(np.arange(P), None)
+    iota = jnp.arange(P, dtype=jnp.int32)
+
+    def left_indices(pc, n_left):
+        """Unplaced indices without transferring the full mask: sort
+        parks placed rows (sentinel P) at the tail, slice to n_left."""
+        idx = jnp.sort(jnp.where(pc < 0, iota, jnp.int32(P)))[:n_left]
+        return np.asarray(idx).astype(np.int64)
+
+    prev_left, redraws, n_left = P + 1, 0, P
+    for _ in range(rounds):
+        fill_d, pc, ps, left = one_round(fill_d, pc, ps, cand)
+        n_left = int(left)
+        if n_left == 0:
+            break
+        if n_left == prev_left:  # every cached candidate is full: redraw
+            space = np.where(np.asarray(fill_d) < L)[0]
+            if len(space) == 0 or redraws >= 8:
+                break
+            idx_left = left_indices(pc, n_left)
+            cand = cand.at[jnp.asarray(idx_left.astype(np.int32))].set(
+                draw_candidates(idx_left, space)
+            )
+            redraws += 1
+            prev_left = P + 1
+        else:
+            prev_left = n_left
+
+    fill[:] = np.asarray(fill_d).astype(fill.dtype)
+    remaining = (
+        positions[left_indices(pc, n_left)] if n_left else positions[:0]
+    )
+    return pc, ps, remaining
 
 
 @functools.partial(jax.jit, static_argnames=("use_kernel", "out_dtype"))
@@ -673,32 +751,39 @@ def _build_ivf_device(
             return jnp.take(instances, g.astype(np.int32), axis=0)
 
         fill = np.asarray(cap_counts).astype(np.int64)
-        # cell_of/slot_of are indexed by position within over_rows; the
-        # device rounds and the host fallback share them.
-        cell_of = np.full(n_over, -1, np.int64)
-        slot_of = np.full(n_over, -1, np.int64)
 
         def fetch_rows_global(rows: np.ndarray):
             if is_reader:
                 return jnp.asarray(_reader_rows(instances, rows))
             return jnp.take(instances, rows.astype(np.int32), axis=0)
 
-        # Device rounds place (nearly) everything; positions map through
-        # over_rows because _respill_device wants corpus rows to fetch.
-        pos_left = _respill_device(
+        # Device rounds place (nearly) everything; the placements stay
+        # on device so the re-encode and the final scatter never
+        # round-trip the O(n_over) placement arrays through the host
+        # link.  Positions map through over_rows because the fetch wants
+        # corpus rows.
+        pc_d, ps_d, pos_left = _respill_device(
             np.arange(n_over), coarse,
             lambda p: fetch_rows_global(over_rows[p]), C, L, fill,
-            cell_of, slot_of,
         )
         if len(pos_left):
+            cell_of = np.full(n_over, -1, np.int64)
+            slot_of = np.full(n_over, -1, np.int64)
             _spill_place(pos_left, coarse, fetch_over, C, L, fill,
                          cell_of, slot_of)
+            sel = jnp.asarray(pos_left.astype(np.int32))
+            pc_d = pc_d.at[sel].set(
+                jnp.asarray(cell_of[pos_left].astype(np.int32))
+            )
+            ps_d = ps_d.at[sel].set(
+                jnp.asarray(slot_of[pos_left].astype(np.int32))
+            )
         codes_parts, norms_parts = [], []
         for off in range(0, n_over, batch):
             rows = np.arange(off, min(off + batch, n_over))
+            cc_b = jax.lax.dynamic_slice(pc_d, (off,), (len(rows),))
             codes_b, norms_b = _residual_encode_batch(
-                coarse, pq, fetch_over(rows),
-                jnp.asarray(cell_of[rows].astype(np.int32)),
+                coarse, pq, fetch_over(rows), cc_b,
                 use_kernel, jnp.dtype(dtype),
             )
             if packed:
@@ -707,8 +792,7 @@ def _build_ivf_device(
             norms_parts.append(norms_b)
         cell_codes, cell_ids, cell_norms = _scatter_updates_donated(
             index.cell_codes, index.cell_ids, index.cell_norms,
-            jnp.asarray(cell_of.astype(np.int32)),
-            jnp.asarray(slot_of.astype(np.int32)),
+            pc_d, ps_d,
             jnp.concatenate(codes_parts, axis=0),
             jnp.asarray(over_rows.astype(np.int32)),
             jnp.concatenate(norms_parts, axis=0),
